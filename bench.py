@@ -1,0 +1,81 @@
+"""Headline benchmark: rays/sec/chip, forward+backward, Sponza-scale 1080p 1spp.
+
+sponza.obj is not shipped with the reference (BASELINE.md), so the workload is
+the procedural sponza_proxy (~60k tris, rect area light, path traced) at
+1920x1080, 1 spp, forward render + backward pass to all differentiable scene
+parameters.
+
+vs_baseline: the reference publishes no rays/s number; its final frame
+(1920x1080, adaptive 9-25 spp, ~20 min on an i7 quad-core,
+webpage/aguzman_jschwarzhaupt.html) implies ~15k primary rays/s forward-only.
+We report our fwd+bwd primary rays/s divided by that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_RAYS_PER_SEC = 15_000.0  # i7 estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from raytracer_tpu.scenes import registry
+    from raytracer_tpu.render import renderer
+    from raytracer_tpu.parallel import sharding
+
+    width = int(os.environ.get('RT_BENCH_W', 1920))
+    height = int(os.environ.get('RT_BENCH_H', 1080))
+    bounces = int(os.environ.get('RT_BENCH_BOUNCES', 3))
+    spp = int(os.environ.get('RT_BENCH_SPP', 1))
+    tile = int(os.environ.get('RT_BENCH_TILE', 64 * 1024))
+
+    scene, cam, settings = registry.make(
+        'sponza_proxy', width=width, height=height, bvh=True,
+        path_trace=True, max_bounces=bounces, ray_tile=tile)
+    key = jax.random.PRNGKey(0)
+
+    params = sharding.get_params(scene)
+
+    def loss_fn(p):
+        s = sharding.apply_params(scene, p)
+        img = renderer.render(s, cam, settings, key, spp=spp)
+        return jnp.mean(img ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # compile
+    t0 = time.time()
+    loss, grads = step(params)
+    jax.block_until_ready((loss, grads))
+    compile_s = time.time() - t0
+
+    # timed runs
+    n_iter = int(os.environ.get('RT_BENCH_ITERS', 2))
+    t0 = time.time()
+    for _ in range(n_iter):
+        loss, grads = step(params)
+    jax.block_until_ready((loss, grads))
+    dt = (time.time() - t0) / n_iter
+
+    rays = width * height * spp
+    rays_per_sec = rays / dt
+    print(json.dumps({
+        'metric': 'primary_rays_per_sec_per_chip_fwd_bwd_sponza_proxy_1080p',
+        'value': round(rays_per_sec, 1),
+        'unit': 'rays/s',
+        'vs_baseline': round(rays_per_sec / REF_RAYS_PER_SEC, 3),
+    }))
+    print(f'# loss={float(loss):.6f} wall={dt:.3f}s compile={compile_s:.1f}s '
+          f'tris={scene.num_tris} bounces={bounces}', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,149 @@
+"""Multi-chip scale-out: rays sharded over the device mesh via shard_map.
+
+The reference's only parallelism is OpenMP dynamic scheduling of 32x32 pixel
+buckets over CPU threads (src/Scene.cpp:111-201). The TPU-native equivalent
+(SURVEY.md §2.2): shard the flattened ray/pixel dimension over a 1-D 'rays'
+mesh axis, replicate scene/BVH/materials per chip, and let shard_map's
+transpose insert the psum that all-reduces parameter gradients — the analogue
+of the reference's post-render counter reduction (src/Scene.cpp:202-208), but
+for gradients.
+
+Scaling beyond replicated geometry (primitive-sharded Sponza-scale scenes with
+ppermute rounds — the ring-attention analogue) is staged for a later round.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map_mod  # jax >= 0.7 style
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs)
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _sm
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+from ..core.types import Scene, Camera, RenderSettings
+from ..render import camera as cam_mod
+from ..render import integrator
+
+AXIS = 'rays'
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def _render_local(scene, cam, settings: RenderSettings, spp: int,
+                  px, py, key):
+    """Per-device ray-chunk render (same estimator as renderer.render)."""
+    n = px.shape[0]
+
+    def body(acc, s):
+        k = jax.random.fold_in(key, s)
+        k1, k2 = jax.random.split(k)
+        rands = jax.random.uniform(k1, (n, 5))
+        o, d, t = cam_mod.eye_rays(cam, settings.width, settings.height,
+                                   px, py, 0.0, 1.0, 0.0, 1.0, rands)
+        L = integrator.radiance(scene, settings, o, d, t, k2)
+        return acc + L, None
+
+    init = jnp.zeros_like(px)[:, None] + jnp.zeros((n, 3), jnp.float32)
+    acc, _ = jax.lax.scan(body, init, jnp.arange(spp, dtype=jnp.int32))
+    return acc / spp
+
+
+@partial(jax.jit, static_argnames=('settings', 'spp', 'mesh'))
+def render_sharded(scene: Scene, cam: Camera, settings: RenderSettings,
+                   key: jax.Array, mesh: Mesh, spp: int = 1) -> jax.Array:
+    """Data-parallel render over the mesh -> (H, W, 3) on the host layout."""
+    W, H = settings.width, settings.height
+    R = W * H
+    n_dev = mesh.devices.size
+    pad = (-R) % n_dev
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing='ij')
+    px = jnp.concatenate([xs.reshape(-1), jnp.zeros(pad, jnp.float32)])
+    py = jnp.concatenate([ys.reshape(-1), jnp.zeros(pad, jnp.float32)])
+
+    def fn(scene, cam, px, py, key):
+        # decorrelate RNG across shards
+        key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+        return _render_local(scene, cam, settings, spp, px, py, key)
+
+    out = shard_map(fn, mesh,
+                    in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
+                    out_specs=P(AXIS))(scene, cam, px, py, key)
+    return out[:R].reshape(H, W, 3)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable multi-chip training step (inverse rendering)
+# ---------------------------------------------------------------------------
+
+def get_params(scene: Scene) -> dict:
+    """The BASELINE-designated differentiable leaves: vertex positions,
+    material albedo/shininess, light intensities, texture texels."""
+    return dict(
+        vertices=scene.geom.vertices,
+        kd=scene.materials.kd,
+        spec_exp=scene.materials.spec_exp,
+        tex_data=scene.textures.data,
+        point_power=scene.point_lights.power,
+        rect_power=scene.rect_lights.power,
+    )
+
+
+def apply_params(scene: Scene, params: dict) -> Scene:
+    shift = params['vertices'] - scene.geom.vertices
+    return scene.replace(
+        geom=scene.geom.replace(vertices=params['vertices'],
+                                vertices_t1=scene.geom.vertices_t1 + shift),
+        materials=scene.materials.replace(kd=params['kd'],
+                                          spec_exp=params['spec_exp']),
+        textures=scene.textures.replace(data=params['tex_data']),
+        point_lights=scene.point_lights.replace(power=params['point_power']),
+        rect_lights=scene.rect_lights.replace(power=params['rect_power']),
+    )
+
+
+@partial(jax.jit, static_argnames=('settings', 'spp', 'mesh'))
+def loss_and_grads(params: dict, scene: Scene, cam: Camera,
+                   settings: RenderSettings, target: jax.Array,
+                   key: jax.Array, mesh: Mesh, spp: int = 1):
+    """MSE inverse-rendering loss + grads, rays sharded over the mesh.
+
+    Parameter gradients are automatically all-reduced by the shard_map
+    transpose (replicated-in -> psum-of-cotangents), overlapping with the
+    backward wavefront where XLA schedules it.
+    """
+    def loss_fn(p):
+        s = apply_params(scene, p)
+        img = render_sharded(s, cam, settings, key, mesh, spp)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+def train_step(params, opt_state, optimizer, scene, cam, settings, target,
+               key, mesh, spp: int = 1):
+    """One optimizer step of differentiable texture/light/geometry fitting
+    (BASELINE config #5: "differentiable texture/light optimization")."""
+    loss, grads = loss_and_grads(params, scene, cam, settings, target, key,
+                                 mesh, spp)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    import optax
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss

@@ -1,0 +1,382 @@
+"""Wavefront path-tracing integrator.
+
+This replaces the reference's mutually recursive `shade -> trace -> shade`
+(Blinn::shade src/Blinn.cpp:91-336, Lambert::shade src/Lambert.cpp:19-53,
+Scene::sampleScene src/Scene.cpp:219-243) with a masked bounce loop under
+`lax.scan`: every live ray carries its throughput, Russian-roulette weights
+are realized exactly as the reference samples them, and one continuation ray
+is spawned per step (diffuse GI, reflection, or refraction).
+
+The estimator is sample-for-sample equivalent to the reference's:
+  * RR split diffuse+direct vs specular with prob rrWeight =
+    1 - Rs*reflectAmt - Ts*refractAmt, contributions reweighted by
+    1/rrWeight resp. 1/(1-rrWeight) (src/Blinn.cpp:195-198, 335);
+  * second RR reflect vs refract at prob reflectAmt*Rs (src/Blinn.cpp:246);
+  * dispersion shoots 3 channel-masked refractions in the reference
+    (src/Blinn.cpp:275-301); here one channel is Russian-rouletted at 1/3
+    and weighted 3x (same expectation, keeps the wavefront width 1);
+  * GI: one cosine-sampled bounce per path, NEE every diffuse vertex, direct
+    light only at the last GI bounce (src/Blinn.cpp:39-89);
+  * spec bounce cap 5 (src/Blinn.cpp:248,283,309): capped rays fall back to
+    the environment color;
+  * IOR stack push/pop incl. the reference's pop-on-backface-before-branch
+    behavior (src/Blinn.cpp:176-185).
+
+lax.scan (not while_loop) keeps the whole loop reverse-mode differentiable;
+BVH traversal returns only integer ids and is excluded from the grad path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Scene, RenderSettings, MAT_LAMBERT, MAT_BLINN
+from ..core import vecmath as vm
+from ..core.vecmath import EPSILON, MIRO_TMAX
+from ..ops import intersect as isect
+from ..shading import textures as tex
+from ..shading import lights as lt
+
+IOR_STACK = 6
+KIND_PRIMARY, KIND_GI, KIND_REFLECT, KIND_REFRACT = 0, 1, 2, 3
+
+
+def hit_attributes(scene: Scene, tri, inst, a, b):
+    """Interpolated shading attributes at a hit.
+
+    Mirrors HitInfo::getAllInfos (src/Ray.cpp:5-49): shading normal, geometric
+    normal (from the t=0 mesh), tangent frame and UVs; instance hits get
+    normals transformed by the inverse transpose (tangents deliberately not,
+    as in the reference).
+    """
+    g = scene.geom
+    c = 1.0 - a - b
+    w = jnp.stack([c, a, b], axis=-1)[..., None]          # (R,3,1)
+
+    fn = g.face_n[tri]                                    # (R,3)
+    N = vm.normalize(jnp.sum(g.normals[fn] * w, axis=-2))
+
+    fv = g.face_v[tri]
+    p = g.vertices[fv]                                    # (R,3,3)
+    geoN = vm.normalize(jnp.cross(p[..., 1, :] - p[..., 0, :],
+                                  p[..., 2, :] - p[..., 0, :]))
+
+    has_uv = g.face_has_uv[tri]
+    ft = g.face_t[tri]
+    uvw = jnp.sum(g.texcoords[ft] * w, axis=-2)           # (R,2)
+    u = jnp.where(has_uv, uvw[..., 0], a)
+    v = jnp.where(has_uv, uvw[..., 1], b)
+
+    T = vm.normalize(jnp.sum(g.tangents[fn] * w, axis=-2))
+    BT = vm.normalize(jnp.sum(g.bitangents[fn] * w, axis=-2))
+    T = jnp.where(has_uv[..., None], T, 0.0)
+    BT = jnp.where(has_uv[..., None], BT, 0.0)
+
+    if scene.instances is not None and not scene.single_level:
+        mt = scene.instances.m_inv_t[jnp.maximum(inst, 0)]  # (R,3,3)
+        N = vm.normalize(jnp.einsum('...ij,...j->...i', mt, N))
+        geoN = vm.normalize(jnp.einsum('...ij,...j->...i', mt, geoN))
+    return N, geoN, T, BT, u, v
+
+
+def scene_env_color(scene: Scene, d):
+    """Primary-miss background (Scene::sampleScene src/Scene.cpp:236-241)."""
+    if scene.env_tex >= 0:
+        return tex.env_lookup(scene.textures, scene.env_tex, d) * scene.env_exposure
+    return jnp.broadcast_to(scene.bg_color, d.shape)
+
+
+def material_env_color(scene: Scene, mat, d):
+    """Material::getEnvironmentColor (src/Material.cpp:44-64): per-material
+    env override, else scene env, else background color."""
+    base = scene_env_color(scene, d)
+    if not scene.has_material_env:
+        return base
+    tid = scene.materials.tex_env[mat]
+    mat_env = tex.env_lookup(scene.textures, tid, d) \
+        * scene.materials.env_exposure[mat][..., None]
+    return jnp.where((tid >= 0)[..., None], mat_env, base)
+
+
+def _ior_top(stack, sp):
+    return jnp.take_along_axis(stack, sp[..., None], axis=-1)[..., 0]
+
+
+def _ior_push(stack, sp, value):
+    sp2 = jnp.minimum(sp + 1, IOR_STACK - 1)
+    onehot = jax.nn.one_hot(sp2, IOR_STACK, dtype=stack.dtype)
+    stack2 = stack * (1.0 - onehot) + value[..., None] * onehot
+    return stack2, sp2
+
+
+def trace_fn(scene: Scene, settings: RenderSettings):
+    """Select the intersector backend -> tracer(o,d,time,tmin,tmax,any_hit)."""
+    mode = settings.intersector
+    if mode == 'auto':
+        mode = 'bvh' if scene.blas is not None else 'brute'
+    if mode == 'brute':
+        def tracer(o, d, time, tmin, tmax, any_hit):
+            return isect.brute_force_trace(scene, o, d, time, tmin, tmax,
+                                           any_hit)
+        return tracer
+    from ..ops import traverse
+    def tracer(o, d, time, tmin, tmax, any_hit):
+        return traverse.bvh_trace(scene, o, d, time, tmin, tmax, any_hit)
+    return tracer
+
+
+def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
+    """Estimate radiance for a wavefront of camera rays -> (R, 3).
+
+    One sample per ray; callers loop/average for spp (the reference's
+    m_numPaths loop, src/Scene.cpp:228-232, folds into this).
+    """
+    R = o.shape[0]
+    f32 = o.dtype
+    tracer = trace_fn(scene, settings)
+    mats = scene.materials
+
+    # derive every carried array from `o` so the scan carry keeps the same
+    # sharding/varying type as the loop outputs under shard_map
+    zero = jnp.zeros_like(o[:, 0])
+    zero_i = zero.astype(jnp.int32)
+    ior_stack = zero[:, None] + jnp.zeros((R, IOR_STACK), f32)
+    ior_stack = ior_stack.at[:, 0].set(1.0).at[:, 1].add(1.001)
+    state = dict(
+        o=o, d=d,
+        tp=1.0 + zero[:, None] + jnp.zeros((R, 3), f32),
+        L=zero[:, None] + jnp.zeros((R, 3), f32),
+        alive=zero < 1.0,
+        kind=zero_i + KIND_PRIMARY,
+        bounces=zero_i,
+        gi_bounces=zero_i,
+        ior_stack=ior_stack,
+        ior_sp=zero_i + 1,
+        prev_mat=zero_i,
+    )
+    time = jnp.broadcast_to(time, (R,)).astype(f32)
+
+    def step(state, step_idx):
+        key = jax.random.fold_in(base_key, step_idx)
+        k_rr, k_gl, k_gi, k_disp, k_l1, k_l2, k_l3 = jax.random.split(key, 7)
+        rnd = jax.random.uniform(k_rr, (R, 3), f32)       # rr1, rr2, disp
+        rnd_gl = jax.random.uniform(k_gl, (R, 2), f32)    # glossy
+        rnd_gi = jax.random.uniform(k_gi, (R, 2), f32)    # GI cosine
+
+        o, d, tp, L, alive = (state['o'], state['d'], state['tp'],
+                              state['L'], state['alive'])
+        kind = state['kind']
+        hit = tracer(o, d, time, EPSILON, MIRO_TMAX, False)
+        found = hit.valid & alive
+        t, a, b = isect.refine_hit(scene, o, d, time, hit)
+
+        # ------------------------------------------------------ miss paths
+        miss = alive & ~hit.valid
+        env_mat = material_env_color(scene, state['prev_mat'], d)
+        env_scene = scene_env_color(scene, d)
+        # primary: scene env/bg; reflect/refract: material env chain;
+        # GI: material env gated by sample_env && scene env map present
+        gi_ok = mats.sample_env[state['prev_mat']] & (scene.env_tex >= 0)
+        env_out = jnp.where((kind == KIND_PRIMARY)[:, None], env_scene,
+                            env_mat)
+        add_env = miss & ((kind != KIND_GI) | gi_ok)
+        L = L + jnp.where(add_env[:, None], tp * env_out, 0.0)
+
+        # ------------------------------------------------------- hit shading
+        tri = jnp.maximum(hit.tri, 0)
+        mat = scene.geom.face_mat[tri]
+        N, geoN, T, BT, u, v = hit_attributes(scene, tri, hit.inst, a, b)
+        P = o + t[:, None] * d
+        view = -d
+
+        kd = mats.kd[mat]
+        ka = mats.ka[mat]
+        ks = mats.ks[mat]
+        le = mats.le[mat]
+        spec_exp = mats.spec_exp[mat]
+        spec_amt = mats.spec_amt[mat]
+        reflect_amt0 = mats.reflect_amt[mat]
+        refract_amt0 = mats.refract_amt[mat]
+        spec_gloss = mats.spec_gloss[mat]
+        is_lambert = mats.kind[mat] == MAT_LAMBERT
+
+        # texture modulation (src/Blinn.cpp:114-142)
+        tc = mats.tex_color[mat]
+        texcol = tex.tex_lookup3(scene.textures, tc, u, v)
+        diffuse = jnp.where((tc >= 0)[:, None], texcol, kd)
+        tn = mats.tex_normal[mat]
+        texn = tex.tex_lookup3(scene.textures, tn, u, v)
+        N_mapped = texn[:, 0:1] * T + texn[:, 1:2] * BT + texn[:, 2:3] * N
+        N = jnp.where((tn >= 0)[:, None], N_mapped, N)  # unnormalized, as ref
+        ts_ = mats.tex_spec[mat]
+        texs = tex.tex_lookup3(scene.textures, ts_, u, v).mean(-1)
+        spec_amt = jnp.where(ts_ >= 0, texs * spec_amt, spec_amt)
+        tr_ = mats.tex_reflect[mat]
+        texr = tex.tex_lookup3(scene.textures, tr_, u, v).mean(-1)
+        reflect_amt = jnp.where(tr_ >= 0, texr * reflect_amt0, reflect_amt0)
+        tf_ = mats.tex_refract[mat]
+        texf = tex.tex_lookup3(scene.textures, tf_, u, v).mean(-1)
+        refract_amt = jnp.where(tf_ >= 0, texf * refract_amt0, refract_amt0)
+
+        # normal disambiguation + backface flip (src/Blinn.cpp:144-155)
+        v_dot_n = vm.dot(view, N)
+        v_dot_geo = vm.dot(view, geoN)
+        n_eq = v_dot_n * v_dot_geo >= 0.0
+        the_n = jnp.where(n_eq[:, None], N, geoN)
+        v_dot = jnp.where(n_eq, v_dot_n, v_dot_geo)
+        flip = v_dot < 0.0
+        v_dot = jnp.abs(v_dot)
+        the_n = jnp.where(flip[:, None], -the_n, the_n)
+        # Lambert uses the raw interpolated normal (src/Lambert.cpp:30,45)
+        the_n = jnp.where(is_lambert[:, None], N, the_n)
+
+        rvec = d + 2.0 * v_dot[:, None] * the_n
+        # glossy reflections perturb rVec (src/Blinn.cpp:160-165)
+        rand_d = vm.cosine_sample(the_n, rnd_gl[:, 0], rnd_gl[:, 1])
+        rvec_gl = vm.normalize(spec_gloss[:, None] * rvec
+                               + (1.0 - spec_gloss)[:, None] * rand_d)
+        rvec = jnp.where((spec_gloss < 1.0)[:, None], rvec_gl, rvec)
+
+        # IOR bookkeeping (src/Blinn.cpp:167-185)
+        ior_stack, ior_sp = state['ior_stack'], state['ior_sp']
+        in_ior = _ior_top(ior_stack, ior_sp)
+        mat_ior = mats.ior[mat]                           # (R,3)
+        dispersing = (mats.disperse[mat] & (kind != KIND_REFRACT)) \
+            if scene.has_dispersion else jnp.zeros(R, bool)
+        # non-dispersing backface: pop (leaving the medium)
+        do_pop = (~dispersing) & flip & found & (~is_lambert)
+        ior_sp = jnp.where(do_pop, jnp.maximum(ior_sp - 1, 0), ior_sp)
+        popped_ior = _ior_top(ior_stack, ior_sp)
+        out_ior_scalar = jnp.where(flip, popped_ior, mat_ior[:, 1])
+        # per-channel out IOR for dispersion
+        out_ior = jnp.where(dispersing[:, None], mat_ior,
+                            out_ior_scalar[:, None])      # (R,3)
+
+        # Fresnel (src/Blinn.cpp:187-193) — uses channel 0 of out_ior
+        has_spec = (reflect_amt0 > 0.0) | (refract_amt0 > 0.0)
+        rs = jnp.where(has_spec, vm.fresnel(in_ior, out_ior[:, 0], v_dot), 0.0)
+        ts = jnp.where(has_spec, 1.0 - rs, 0.0)
+
+        rr_weight = 1.0 - rs * reflect_amt - ts * refract_amt
+        rr_weight = jnp.where(is_lambert, 1.0, rr_weight)
+        rr_recip = jnp.where(rr_weight > 0.0, 1.0 / rr_weight, 1.0)
+        rr_recip_s = jnp.where(1.0 - rr_weight > 0.0,
+                               1.0 / (1.0 - rr_weight), 1.0)
+        diffuse_branch = found & (rnd[:, 0] <= rr_weight)
+        spec_branch = found & ~diffuse_branch
+
+        # unconditional per-hit terms: Le, and ka scaled by rrRecip
+        # (src/Blinn.cpp:333-335)
+        L = L + jnp.where(found[:, None], tp * (le + ka * rr_recip[:, None]), 0.0)
+
+        # ---------------------------------------------- diffuse branch: NEE
+        # The reference drops to 1 sample per area light on secondary rays
+        # (isSecondary, src/DomeLight.cpp:89). Batched wavefronts mix ray
+        # kinds, so we always use the configured counts — identical
+        # expectation, equal-or-lower variance.
+        lpw, specw = lt.sample_all_lights(scene, tracer, P, the_n, rvec, time,
+                                          k_l1, False, settings)
+
+        w_d = (tp * rr_recip[:, None]) * diffuse_branch[:, None]
+        spec_term = ks * spec_amt[:, None] * \
+            jnp.power(jnp.maximum(specw, 0.0), spec_exp)[:, None]
+        spec_term = jnp.where(is_lambert[:, None], 0.0, spec_term)
+        L = L + w_d * lpw * (diffuse + spec_term)
+
+        # translucency (src/Blinn.cpp:223-236)
+        if scene.has_translucency:
+            transl = mats.translucency[mat]
+            lp_t, _ = lt.sample_all_lights(scene, tracer, P, -the_n, rvec,
+                                           jnp.full_like(time, 1e-3), k_l2,
+                                           True, settings)
+            L = L + w_d * transl[:, None] * lp_t * diffuse \
+                * (transl > 0.01)[:, None]
+
+        # --------------------------------------- diffuse branch: GI bounce
+        gi_b = state['gi_bounces']
+        emitter = (mats.emitted_power[mat] > 0.0) | (jnp.sum(le, -1) > 0.0)
+        if settings.path_trace:
+            # emitter hit: GI slot returns emittedPower*Le (src/Blinn.cpp:47-51)
+            L = L + jnp.where((diffuse_branch & emitter)[:, None],
+                              w_d * mats.emitted_power[mat][:, None] * le, 0.0)
+            can_gi = diffuse_branch & ~emitter & ~is_lambert \
+                & (gi_b < settings.max_bounces - 1)
+            # last GI bounce: direct-light only, diffuse term (src/Blinn.cpp:76-87)
+            last_gi = diffuse_branch & ~emitter & ~is_lambert \
+                & (gi_b >= settings.max_bounces - 1)
+            lp_last, _ = lt.sample_all_lights(scene, tracer, P, the_n, rvec,
+                                              time, k_l3, True, settings)
+            L = L + jnp.where(last_gi[:, None], w_d * lp_last * diffuse, 0.0)
+            gi_dir = vm.cosine_sample(the_n, rnd_gi[:, 0], rnd_gi[:, 1])
+        else:
+            can_gi = jnp.zeros(R, bool)
+            gi_dir = d
+
+        # ------------------------------------------------- specular branch
+        bounces = state['bounces']
+        can_bounce = bounces < settings.spec_bounce_cap
+        refl_p = reflect_amt * rs
+        take_refl = spec_branch & (rnd[:, 1] < refl_p)
+        take_refr = spec_branch & ~take_refl & (refract_amt * ts > 0.0)
+
+        # dispersion channel RR (1/3 prob, 3x mask weight)
+        ch = jnp.floor(rnd[:, 2] * 3.0).astype(jnp.int32) % 3
+        ch_mask = jax.nn.one_hot(ch, 3, dtype=f32) * 3.0
+        disp_now = dispersing & take_refr
+        eta_nd = in_ior / out_ior[:, 0]
+        eta_d = in_ior / jnp.take_along_axis(out_ior, ch[:, None], -1)[:, 0]
+        eta = jnp.where(disp_now, eta_d, eta_nd)
+        tvec = vm.refract(d, the_n, v_dot, eta)
+
+        w_s = tp * (ks * rr_recip_s[:, None])
+        w_s = jnp.where(disp_now[:, None], w_s * ch_mask, w_s)
+
+        # capped specular rays take the env color instead (src/Blinn.cpp:260-267,
+        # 325-328 with doEnv left true when no trace happened)
+        env_r = material_env_color(scene, mat, rvec)
+        env_t = material_env_color(scene, mat, tvec)
+        L = L + jnp.where((take_refl & ~can_bounce)[:, None], w_s * env_r, 0.0)
+        L = L + jnp.where((take_refr & ~can_bounce)[:, None], w_s * env_t, 0.0)
+
+        spawn_refl = take_refl & can_bounce
+        spawn_refr = take_refr & can_bounce
+        spawn_spec = spawn_refl | spawn_refr
+        spawn = can_gi | spawn_spec
+
+        # push the IOR entered by refraction (src/Blinn.cpp:285,311)
+        push_val = jnp.where(disp_now,
+                             jnp.take_along_axis(out_ior, ch[:, None], -1)[:, 0],
+                             out_ior[:, 0])
+        new_stack, new_sp = _ior_push(ior_stack, ior_sp, push_val)
+        ior_stack = jnp.where(spawn_refr[:, None], new_stack, ior_stack)
+        ior_sp = jnp.where(spawn_refr, new_sp, ior_sp)
+
+        new_d = jnp.where(spawn_refl[:, None], rvec,
+                          jnp.where(spawn_refr[:, None], tvec, gi_dir))
+        new_kind = jnp.where(spawn_refl, KIND_REFLECT,
+                             jnp.where(spawn_refr, KIND_REFRACT, KIND_GI))
+        new_tp = jnp.where(spawn_spec[:, None], w_s,
+                           tp * rr_recip[:, None] * diffuse)
+        new_bounces = jnp.where(spawn_spec, bounces + 1, bounces)
+        new_gi = jnp.where(can_gi, gi_b + 1, gi_b)
+
+        state = dict(
+            o=jnp.where(spawn[:, None], P, o),
+            d=jnp.where(spawn[:, None], new_d, d),
+            tp=jnp.where(spawn[:, None], new_tp, tp),
+            L=L,
+            alive=alive & spawn,
+            kind=jnp.where(spawn, new_kind, kind),
+            bounces=new_bounces,
+            gi_bounces=new_gi,
+            ior_stack=ior_stack,
+            ior_sp=ior_sp,
+            prev_mat=jnp.where(found, mat, state['prev_mat']),
+        )
+        return state, None
+
+    steps = settings.max_wavefront_steps
+    state, _ = jax.lax.scan(step, state, jnp.arange(steps, dtype=jnp.int32))
+    return state['L']

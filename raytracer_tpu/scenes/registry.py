@@ -1,0 +1,281 @@
+"""Named scene fixtures.
+
+The reference hard-codes scenes as C++ functions selected at compile time
+(src/main.cpp:29, src/Assignment*.h, src/assignment2.h); here they are a
+registry of builders returning (Scene, Camera, RenderSettings). Parameters
+mirror the reference constructors cited per scene.
+
+Models/Textures ship with the reference checkout; point RT_ASSETS at a copy
+if /root/reference is unavailable. bunny.obj / dragon_2.obj / sponza.obj are
+referenced by the original scenes but not shipped (BASELINE.md); procedural
+stand-ins are used where needed.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core.types import Camera, RenderSettings
+from ..geometry.build import SceneBuilder
+from ..geometry import shapes
+from ..io.objload import load_obj, make_single_triangle
+
+ASSETS = os.environ.get('RT_ASSETS', '/root/reference')
+MODELS = os.path.join(ASSETS, 'Models')
+TEXTURES = os.path.join(ASSETS, 'Textures')
+
+_REGISTRY = {}
+
+
+def register(name):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def names():
+    return sorted(_REGISTRY)
+
+
+def make(name, **kwargs):
+    return _REGISTRY[name](**kwargs)
+
+
+@register('triangle_sphere')
+def triangle_sphere(size=256, bvh=False, **kw):
+    """BASELINE config #1: single triangle + sphere + point light, Lambert,
+    256x256, CPU-runnable. Layout follows makeTeapotScene2's floor/light
+    (src/assignment2.h:34-80) with a unit sphere instead of the teapot."""
+    b = SceneBuilder()
+    lam = b.add_lambert(kd=(1.0, 1.0, 1.0))
+    b.add_mesh(make_single_triangle((-10, 0, -10), (0, 0, 10), (10, 0, -10),
+                                    n=(0, 1, 0)), lam)
+    b.add_mesh(shapes.uv_sphere((0, 1, 0), 1.0, 12, 24, with_uv=False), lam)
+    b.add_point_light((10, 10, 10), 700.0)
+    b.set_bg_color((0.0, 0.0, 0.2))
+    scene = b.build(bvh=bvh)
+    cam = Camera.make(eye=(0, 3, 6), look_at=(0, 0, 0), fov=45.0)
+    settings = RenderSettings(width=size, height=size, path_trace=False,
+                              max_bounces=5, max_wavefront_steps=2, **kw)
+    return scene, cam, settings
+
+
+def _cornell_box(b: SceneBuilder, emitter_power=0.0):
+    """Shared Cornell geometry (makePathTracingScene, src/assignment2.h:379-438)."""
+    lmat = b.add_blinn(kd=(1, 1, 1), emitted_power=emitter_power, le=(1, 1, 1))
+    b.add_mesh(load_obj(os.path.join(MODELS, 'cornell_box-light.obj')), lmat)
+    wmat = b.add_blinn(kd=(1, 1, 1))
+    b.add_mesh(load_obj(os.path.join(MODELS, 'cornell_box-white.obj')), wmat)
+    rmat = b.add_blinn(kd=(0.80, 0.20, 0.20))
+    b.add_mesh(load_obj(os.path.join(MODELS, 'cornell_box-red.obj')), rmat)
+    gmat = b.add_blinn(kd=(0.20, 0.80, 0.20))
+    b.add_mesh(load_obj(os.path.join(MODELS, 'cornell_box-green.obj')), gmat)
+
+
+@register('cornell_pt')
+def cornell_pt(size=512, num_rect_samples=4, bvh=True, max_bounces=5, **kw):
+    """BASELINE config #2: Cornell box, path traced, area RectangleLight.
+
+    Mirrors makePathTracingScene (src/assignment2.h:379-438) geometry/light;
+    bounce count is configurable (the reference uses numPaths=100,
+    maxBounces=40 — fold paths into spp at render time)."""
+    b = SceneBuilder()
+    _cornell_box(b, emitter_power=50.0)
+    b.add_rect_light((3.0, 5.5, -2.5), (3.0, 5.5, -3.0), (2.5, 5.5, -2.5),
+                     power=10.0, num_samples=num_rect_samples)
+    b.set_bg_color((0, 0, 0))
+    scene = b.build(bvh=bvh)
+    cam = Camera.make(eye=(2.25, 2.25, 5.5), look_at=(2.5, 2.25, 0), fov=55.0)
+    settings = RenderSettings(width=size, height=size, path_trace=True,
+                              max_bounces=max_bounces,
+                              max_wavefront_steps=max_bounces + 2, **kw)
+    return scene, cam, settings
+
+
+@register('cornell_spheres')
+def cornell_spheres(size=512, bvh=True, **kw):
+    """makePathTracingScene3 (src/assignment2.h:440-524): Cornell box with a
+    glass sphere and a glossy metal sphere, adaptive 1..4 subdivs.
+
+    Note: the reference's setIor(2.2) only writes IOR channel 0, which the
+    shader never reads for non-dispersive materials (src/Blinn.cpp:183 reads
+    m_ior[1] = ctor default 1.5) — we set all channels, i.e. the intent."""
+    b = SceneBuilder()
+    cb = os.path.join(MODELS, 'CornellBox')
+    lmat = b.add_blinn(kd=(1, 1, 1), emitted_power=0.0, le=(1, 1, 1))
+    b.add_mesh(load_obj(os.path.join(cb, 'Box_light.obj')), lmat)
+    wmat = b.add_blinn(kd=(1, 1, 1))
+    b.add_mesh(load_obj(os.path.join(cb, 'Box_white.obj')), wmat)
+    rmat = b.add_blinn(kd=(0.80, 0.20, 0.20))
+    b.add_mesh(load_obj(os.path.join(cb, 'Box_red.obj')), rmat)
+    gmat = b.add_blinn(kd=(0.20, 0.80, 0.20))
+    b.add_mesh(load_obj(os.path.join(cb, 'Box_green.obj')), gmat)
+    glass = b.add_blinn(kd=(0.7, 0.1, 0.05), spec_exp=30.0, ior=2.2,
+                        reflect_amt=1.0, refract_amt=1.0)
+    b.add_mesh(load_obj(os.path.join(cb, 'Sphere_Glass.obj')), glass)
+    metal = b.add_blinn(kd=(0.09, 0.094, 0.1), spec_exp=30.0, spec_amt=0.0,
+                        ior=6.0, reflect_amt=0.90, refract_amt=0.0,
+                        spec_gloss=0.98)
+    b.add_mesh(load_obj(os.path.join(cb, 'Sphere_Metal.obj')), metal)
+    b.add_rect_light((3.0, 5.5, -2.5), (3.0, 5.5, -3.0), (2.5, 5.5, -2.5),
+                     power=15.0, num_samples=1)
+    b.set_bg_color((0, 0, 0))
+    scene = b.build(bvh=bvh)
+    cam = Camera.make(eye=(2.75, 2.75, 5.0), look_at=(2.75, 2.75, 0),
+                      fov=55.0, focus_plane=8.6, aperture=0.0)
+    settings = RenderSettings(width=size, height=size, path_trace=True,
+                              max_bounces=5, min_subdivs=1, max_subdivs=4,
+                              noise_threshold=0.01, max_wavefront_steps=8, **kw)
+    return scene, cam, settings
+
+
+@register('teapot_blinn')
+def teapot_blinn(size=512, bvh=True, spec=True, **kw):
+    """BASELINE config #3 stand-in: teapot + floor, Blinn, point light, BVH
+    (makeTeapotScene2, src/assignment2.h:34-80; bunny.obj is not shipped)."""
+    b = SceneBuilder()
+    mat = b.add_blinn(kd=(1, 1, 1),
+                      spec_amt=0.5 if spec else 0.0, spec_exp=30.0)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'teapot.obj')), mat)
+    b.add_mesh(make_single_triangle((-10, 0, -10), (0, 0, 10), (10, 0, -10),
+                                    n=(0, 1, 0)), mat)
+    b.add_point_light((10, 10, 10), 700.0)
+    b.set_bg_color((0.0, 0.0, 0.2))
+    scene = b.build(bvh=bvh)
+    cam = Camera.make(eye=(0, 3, 6), look_at=(0, 0, 0), fov=45.0)
+    settings = RenderSettings(width=size, height=size, path_trace=False,
+                              max_wavefront_steps=2, **kw)
+    return scene, cam, settings
+
+
+@register('dome_teapot')
+def dome_teapot(size=512, hdr='sky.hdr', dome_samples=4, bvh=True, **kw):
+    """BASELINE config #4 stand-in: textured ground + teapot under an HDR
+    DomeLight with importance sampling (dragon_2.obj is not shipped).
+    Dome mechanics mirror makeFinalScene's sky.hdr dome (src/main.cpp:150-165)."""
+    b = SceneBuilder()
+    sky = b.add_texture_file(os.path.join(TEXTURES, hdr))
+    grass = b.add_texture_file(os.path.join(TEXTURES, 'grass-color-01.tga'))
+    gmat = b.add_blinn(kd=(1, 1, 1), tex_color=grass)
+    b.add_mesh(shapes.quad((-8, 0, -8), (8, 0, -8), (8, 0, 8), (-8, 0, 8)),
+               gmat)
+    tmat = b.add_blinn(kd=(0.9, 0.85, 0.8), spec_amt=0.3, spec_exp=20.0)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'teapot.obj')), tmat)
+    b.set_dome_light(sky, gain=1.0, num_samples=dome_samples)
+    b.set_env_map(sky, 1.0)
+    scene = b.build(bvh=bvh)
+    cam = Camera.make(eye=(0, 2.5, 5), look_at=(0, 0.8, 0), fov=45.0)
+    settings = RenderSettings(width=size, height=size, path_trace=False,
+                              max_wavefront_steps=2, **kw)
+    return scene, cam, settings
+
+
+@register('mb_bullet')
+def mb_bullet(size=256, bvh=True, shutter=1.0, **kw):
+    """Motion-blur fixture: the shattered-bullet two-pose mesh pair
+    (Models/bulletMB_01/02.obj; reference MBObject, makeFinalScene
+    src/main.cpp:167-200 uses the same meshes)."""
+    b = SceneBuilder()
+    mat = b.add_blinn(kd=(0.8, 0.7, 0.2), spec_amt=0.4, spec_exp=15.0)
+    m0 = load_obj(os.path.join(MODELS, 'bulletMB_01.obj'))
+    m1 = load_obj(os.path.join(MODELS, 'bulletMB_02.obj'))
+    b.add_mesh(m0, mat, mesh_t1=m1)
+    floor = b.add_lambert(kd=(0.7, 0.7, 0.7))
+    b.add_mesh(make_single_triangle((-20, -2, -20), (0, -2, 20), (20, -2, -20),
+                                    n=(0, 1, 0)), floor)
+    b.add_point_light((5, 10, 5), 500.0)
+    b.set_bg_color((0.1, 0.1, 0.15))
+    scene = b.build(bvh=bvh)
+    lo = m0.vertices.min(0)
+    hi = m0.vertices.max(0)
+    c = 0.5 * (lo + hi)
+    cam = Camera.make(eye=c + np.asarray([0, 0.5, 3.5]) * (hi - lo).max(),
+                      look_at=c, fov=45.0, shutter=shutter)
+    settings = RenderSettings(width=size, height=size, path_trace=False,
+                              max_wavefront_steps=2, **kw)
+    return scene, cam, settings
+
+
+@register('instanced_teapots')
+def instanced_teapots(size=256, grid=4, bvh=True, **kw):
+    """Two-level instancing fixture (reference ProxyObject grids,
+    makeBunny20Scene2 src/assignment2.h:137+ / makeProxyGrid src/main.cpp:37)."""
+    b = SceneBuilder()
+    mat = b.add_blinn(kd=(0.8, 0.5, 0.3), spec_amt=0.3, spec_exp=20.0)
+    b.begin_prototype()
+    b.add_mesh(load_obj(os.path.join(MODELS, 'teapot.obj')), mat)
+    proto = b.end_prototype()
+    rng = np.random.default_rng(3163513)  # reference MT seed (src/Scene.cpp:28)
+    for i in range(grid):
+        for j in range(grid):
+            ang = rng.uniform(0, 2 * np.pi)
+            ca, sa = np.cos(ang), np.sin(ang)
+            s = rng.uniform(0.6, 1.2)
+            m = np.asarray([[s * ca, 0, s * sa, (i - grid / 2) * 3.0],
+                            [0, s, 0, 0],
+                            [-s * sa, 0, s * ca, (j - grid / 2) * 3.0]],
+                           np.float32)
+            b.add_instance(proto, m)
+    floor = b.add_lambert(kd=(0.7, 0.7, 0.7))
+    b.add_mesh(make_single_triangle((-60, 0, -60), (0, 0, 60), (60, 0, -60),
+                                    n=(0, 1, 0)), floor)
+    b.add_point_light((20, 30, 20), 5000.0)
+    b.set_bg_color((0.05, 0.05, 0.1))
+    scene = b.build(bvh=True)
+    cam = Camera.make(eye=(0, 8, grid * 2.5 + 6), look_at=(0, 0.5, 0), fov=45.0)
+    settings = RenderSettings(width=size, height=size, path_trace=False,
+                              max_wavefront_steps=2, **kw)
+    return scene, cam, settings
+
+
+@register('sponza_proxy')
+def sponza_proxy(width=1920, height=1080, bvh=True, path_trace=True,
+                 max_bounces=10, rect_samples=1, **kw):
+    """BASELINE config #5 stand-in: sponza.obj is not shipped with the
+    reference (only its light quad, Models/sponza-light.obj), so this builds
+    a comparable ~60k-triangle atrium (floor, walls, colonnade, dense teapot
+    clutter) with the original sponza light quad + rectangle light
+    (makeSponzaScenePathTrace, src/assignment2.h:663-710)."""
+    b = SceneBuilder()
+    white = b.add_blinn(kd=(1, 1, 1))
+    lmat = b.add_blinn(kd=(1, 1, 1), emitted_power=1.5, le=(1, 1, 1))
+    b.add_mesh(load_obj(os.path.join(MODELS, 'sponza-light.obj')), lmat)
+    # atrium shell
+    b.add_mesh(shapes.quad((-10, 0, -5), (10, 0, -5), (10, 0, 5), (-10, 0, 5),
+                           with_uv=False), white)
+    b.add_mesh(shapes.box((-10, 0, -5.2), (10, 8, -5.0)), white)
+    b.add_mesh(shapes.box((-10, 0, 5.0), (10, 8, 5.2)), white)
+    b.add_mesh(shapes.box((-10.2, 0, -5.2), (-10.0, 8, 5.2)), white)
+    b.add_mesh(shapes.box((10.0, 0, -5.2), (10.2, 8, 5.2)), white)
+    # colonnade
+    for i in range(12):
+        x = -9 + i * 1.64
+        for z in (-3.5, 3.5):
+            b.add_mesh(shapes.cylinder((x, 0, z), 0.3, 5.0, n_seg=16), white)
+    # clutter to sponza-scale triangle counts
+    from ..io.objload import MeshData, compute_tangents
+    teapot = load_obj(os.path.join(MODELS, 'teapot.obj'))
+    compute_tangents(teapot)
+    rng = np.random.default_rng(3163513)
+    n_teapots = kw.pop('n_teapots', 100)
+    for _ in range(n_teapots):
+        t = teapot.vertices * rng.uniform(0.2, 0.5)
+        t = t + np.asarray([rng.uniform(-9, 9), 0.0,
+                            rng.uniform(-4, 4)], np.float32)
+        m = MeshData(vertices=t.astype(np.float32), normals=teapot.normals,
+                     texcoords=teapot.texcoords, face_v=teapot.face_v,
+                     face_n=teapot.face_n, face_t=teapot.face_t,
+                     tangents=teapot.tangents, bitangents=teapot.bitangents)
+        b.add_mesh(m, white)
+    b.add_rect_light((8.0, 10, 2), (8.0, 10, -2.0), (-8, 10, 2), power=1.5,
+                     num_samples=rect_samples)
+    b.set_bg_color((0.0, 0.0, 0.2))
+    scene = b.build(bvh=bvh)
+    cam = Camera.make(eye=(8, 1.5, 1), look_at=(0, 2.5, -1), fov=55.0)
+    settings = RenderSettings(width=width, height=height,
+                              path_trace=path_trace, max_bounces=max_bounces,
+                              max_wavefront_steps=max_bounces + 2
+                              if path_trace else 2, **kw)
+    return scene, cam, settings

@@ -1,0 +1,16 @@
+"""Test env: force CPU with 8 virtual devices (multi-chip sharding sim).
+
+Must run before jax initializes (SURVEY.md §4: multi-host logic is tested via
+xla_force_host_platform_device_count on CPU).
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags +
+                               ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_enable_x64', False)

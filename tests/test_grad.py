@@ -1,0 +1,91 @@
+"""Gradient checks: autodiff vs finite differences (BASELINE: "gradient
+max-abs-err vs finite differences"). Targets: light power, material albedo,
+vertex positions, texture texels."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.render import renderer
+from raytracer_tpu.scenes import registry
+
+SIZE = 8
+
+
+def _loss_fn(scene, cam, settings):
+    key = jax.random.PRNGKey(0)
+
+    def loss(s):
+        img = renderer.render_center(s, cam, settings, key)
+        return jnp.mean(img ** 2)
+
+    return loss
+
+
+def _fd(loss, scene, get, set_, eps=3e-3):
+    v0 = get(scene)
+    lp = loss(set_(scene, v0 + eps))
+    lm = loss(set_(scene, v0 - eps))
+    return (lp - lm) / (2 * eps)
+
+
+def test_grad_light_power():
+    scene, cam, settings = registry.make('triangle_sphere', size=SIZE,
+                                         bvh=False)
+    loss = _loss_fn(scene, cam, settings)
+
+    def set_power(s, p):
+        return s.replace(point_lights=s.point_lights.replace(
+            power=jnp.asarray([p], jnp.float32)))
+
+    g = jax.grad(lambda p: loss(set_power(scene, p)))(700.0)
+    fd = _fd(loss, scene, lambda s: 700.0, set_power, eps=1.0)
+    assert np.isfinite(g)
+    np.testing.assert_allclose(g, fd, rtol=1e-2)
+
+
+def test_grad_albedo():
+    scene, cam, settings = registry.make('triangle_sphere', size=SIZE,
+                                         bvh=False)
+    loss = _loss_fn(scene, cam, settings)
+
+    def set_kd(s, v):
+        kd = jnp.full_like(s.materials.kd, v)
+        return s.replace(materials=s.materials.replace(kd=kd))
+
+    g = jax.grad(lambda v: loss(set_kd(scene, v)))(1.0)
+    fd = _fd(loss, scene, lambda s: 1.0, set_kd, eps=1e-2)
+    assert np.isfinite(g) and g > 0
+    np.testing.assert_allclose(g, fd, rtol=2e-2)
+
+
+def test_grad_vertices():
+    """Shift all vertices along +y; interior shading changes smoothly."""
+    scene, cam, settings = registry.make('triangle_sphere', size=SIZE,
+                                         bvh=False)
+    loss = _loss_fn(scene, cam, settings)
+
+    def shift(s, dy):
+        v = s.geom.vertices + jnp.asarray([0.0, dy, 0.0])
+        v1 = s.geom.vertices_t1 + jnp.asarray([0.0, dy, 0.0])
+        return s.replace(geom=s.geom.replace(vertices=v, vertices_t1=v1))
+
+    g = jax.grad(lambda dy: loss(shift(scene, dy)))(0.0)
+    fd = _fd(loss, scene, lambda s: 0.0, shift, eps=1e-3)
+    assert np.isfinite(g)
+    # visibility (edge) gradients are not yet reparameterized: compare only
+    # the smooth part, loosely
+    np.testing.assert_allclose(g, fd, rtol=0.3, atol=1e-3)
+
+
+def test_grad_through_spp_render():
+    scene, cam, settings = registry.make('triangle_sphere', size=SIZE,
+                                         bvh=False)
+    key = jax.random.PRNGKey(1)
+
+    def loss(p):
+        s = scene.replace(point_lights=scene.point_lights.replace(
+            power=jnp.asarray([p], jnp.float32)))
+        return jnp.mean(renderer.render(s, cam, settings, key, spp=2))
+
+    g = jax.grad(loss)(700.0)
+    assert np.isfinite(g) and g > 0
