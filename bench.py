@@ -35,7 +35,7 @@ def main():
     height = int(os.environ.get('RT_BENCH_H', 1080))
     bounces = int(os.environ.get('RT_BENCH_BOUNCES', 3))
     spp = int(os.environ.get('RT_BENCH_SPP', 1))
-    tile = int(os.environ.get('RT_BENCH_TILE', 64 * 1024))
+    tile = int(os.environ.get('RT_BENCH_TILE', 8 * 1024))
 
     scene, cam, settings = registry.make(
         'sponza_proxy', width=width, height=height, bvh=True,
@@ -43,17 +43,15 @@ def main():
     key = jax.random.PRNGKey(0)
 
     params = sharding.get_params(scene)
+    target = jnp.zeros((height, width, 3), jnp.float32)
 
-    def loss_fn(p):
-        s = sharding.apply_params(scene, p)
-        img = renderer.render(s, cam, settings, key, spp=spp)
-        return jnp.mean(img ** 2)
+    def step():
+        return sharding.loss_and_grads_streamed(
+            params, scene, cam, settings, target, key, spp=spp, tile=tile)
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
-
-    # compile
+    # compile (one tile shape compiles once; the loop then streams)
     t0 = time.time()
-    loss, grads = step(params)
+    loss, grads = step()
     jax.block_until_ready((loss, grads))
     compile_s = time.time() - t0
 
@@ -61,7 +59,7 @@ def main():
     n_iter = int(os.environ.get('RT_BENCH_ITERS', 2))
     t0 = time.time()
     for _ in range(n_iter):
-        loss, grads = step(params)
+        loss, grads = step()
     jax.block_until_ready((loss, grads))
     dt = (time.time() - t0) / n_iter
 

@@ -128,17 +128,27 @@ def _build_binary(bmin: np.ndarray, bmax: np.ndarray, leaf_size: int):
 
 
 class _WidePool:
-    """Accumulates wide nodes across all BLAS subtrees + prim order."""
+    """Accumulates wide-node blocks across all BLAS subtrees + prim order."""
 
     def __init__(self, branch: int):
         self.B = branch
-        self.node_min: list[np.ndarray] = []
-        self.node_max: list[np.ndarray] = []
-        self.child: list[np.ndarray] = []
-        self.count: list[np.ndarray] = []
+        self.blocks: list[tuple] = []  # (node_min, node_max, child, count)
         self.prim_order: list[np.ndarray] = []
         self.prim_off = 0
+        self.n_nodes = 0
         self.max_depth = 0
+
+    def add_block(self, node_min, node_max, child, count, ordered_prims,
+                  depth) -> int:
+        """Append a pre-built subtree block (e.g. from the native builder);
+        child ids must already be offset by the current node count."""
+        root = self.n_nodes
+        self.blocks.append((node_min, node_max, child, count))
+        self.n_nodes += len(node_min)
+        self.prim_order.append(np.asarray(ordered_prims, np.int64))
+        self.prim_off += len(ordered_prims)
+        self.max_depth = max(self.max_depth, depth)
+        return root
 
     def add_subtree(self, tree: _Binary, order: np.ndarray,
                     prim_ids: np.ndarray) -> int:
@@ -149,7 +159,6 @@ class _WidePool:
         that are leaves stay as direct slots).
         """
         B = self.B
-        base = len(self.node_min)  # only correct because we append per node
         out_min, out_max, out_child, out_count = [], [], [], []
 
         def collect(b: int, depth: int) -> list[int]:
@@ -169,13 +178,15 @@ class _WidePool:
                 slots.extend([tree.left[s], tree.right[s]])
             return slots
 
+        sub_depth = [0]
+
         def emit(b: int, depth: int) -> int:
             my_id = len(out_min)
             out_min.append(np.full((B, 3), np.float32(np.inf)))
             out_max.append(np.full((B, 3), np.float32(-np.inf)))
             out_child.append(np.full(B, -1, np.int64))
             out_count.append(np.full(B, -1, np.int64))
-            self.max_depth = max(self.max_depth, depth + 1)
+            sub_depth[0] = max(sub_depth[0], depth + 1)
             slots = collect(b, depth)
             for c, s in enumerate(slots):
                 out_min[my_id][c] = tree.bb_min[s]
@@ -197,28 +208,30 @@ class _WidePool:
         finally:
             sys.setrecursionlimit(old)
         assert root_local == 0
-        node_offset = self._node_count()
+        node_offset = self.n_nodes
         # fix child ids by offsetting internal links
         for i in range(len(out_child)):
             internal = out_count[i] == 0
             out_child[i][internal] += node_offset
-        self.node_min.extend(out_min)
-        self.node_max.extend(out_max)
-        self.child.extend(out_child)
-        self.count.extend(out_count)
-        self.prim_order.append(prim_ids[order])
-        self.prim_off += len(order)
-        return node_offset
+        return self.add_block(np.stack(out_min), np.stack(out_max),
+                              np.stack(out_child), np.stack(out_count),
+                              prim_ids[order], sub_depth[0])
 
     def _node_count(self) -> int:
-        return len(self.node_min)
+        return self.n_nodes
+
+    def _stacked(self):
+        node_min = np.concatenate([b[0] for b in self.blocks]).astype(np.float32)
+        node_max = np.concatenate([b[1] for b in self.blocks]).astype(np.float32)
+        child = np.concatenate([b[2] for b in self.blocks]).astype(np.int64)
+        count = np.concatenate([b[3] for b in self.blocks]).astype(np.int64)
+        return node_min, node_max, child, count
 
     def finalize(self) -> T.BVHArrays:
+        node_min, node_max, child, count = self._stacked()
         return T.BVHArrays(
-            node_min=np.stack(self.node_min).astype(np.float32),
-            node_max=np.stack(self.node_max).astype(np.float32),
-            child=np.stack(self.child).astype(np.int32),
-            count=np.stack(self.count).astype(np.int32),
+            node_min=node_min, node_max=node_max,
+            child=child.astype(np.int32), count=count.astype(np.int32),
             prim_order=np.concatenate(self.prim_order).astype(np.int32))
 
 
@@ -246,11 +259,20 @@ def build_scene_bvh(geom: T.Geometry, instances: list[dict], protos,
     # one BLAS per distinct triangle set (prototypes shared across instances)
     blas_roots: dict = {}
 
-    def blas_for(key, tri_ids) -> int:
+    def blas_for(key, tri_ids):
         if key not in blas_roots:
             bmin, bmax = triangle_aabbs(geom, tri_ids)
-            tree, order = _build_binary(bmin, bmax, leaf_size)
-            blas_roots[key] = pool.add_subtree(tree, order, tri_ids)
+            from .. import native
+            nat = native.build_bvh_native(bmin, bmax, leaf_size, branch,
+                                          pool.prim_off, pool.n_nodes)
+            if nat is not None:
+                nmin, nmax, child, count, order, depth = nat
+                root = pool.add_block(nmin, nmax, child, count,
+                                      tri_ids[order], depth)
+            else:
+                tree, order = _build_binary(bmin, bmax, leaf_size)
+                root = pool.add_subtree(tree, order, tri_ids)
+            blas_roots[key] = (root, bmin.min(0), bmax.max(0))
         return blas_roots[key]
 
     inst_m, inst_minv, inst_minvt, inst_root = [], [], [], []
@@ -266,7 +288,7 @@ def build_scene_bvh(geom: T.Geometry, instances: list[dict], protos,
             lo, hi = inst['lo'], inst['hi']
             tri_ids = np.arange(lo, hi, dtype=np.int64)
             key = (lo, hi)
-        root = blas_for(key, tri_ids)
+        root, bmn, bmx = blas_for(key, tri_ids)
         m = np.asarray(inst['m'], np.float32)
         lin = m[:, :3]
         minv_lin = np.linalg.inv(lin)
@@ -279,8 +301,6 @@ def build_scene_bvh(geom: T.Geometry, instances: list[dict], protos,
         inst_hi.append(hi if hi >= 0 else geom.face_v.shape[0])
         # world AABB: transform the 8 BLAS root box corners
         # (reference ProxyObject::getAABB, src/ProxyObject.cpp:97-130)
-        bmn = pool.node_min[root].min(0)
-        bmx = pool.node_max[root].max(0)
         cs = np.array([[x, y, z]
                        for x in (bmn[0], bmx[0])
                        for y in (bmn[1], bmx[1])
@@ -309,8 +329,8 @@ def build_scene_bvh(geom: T.Geometry, instances: list[dict], protos,
     # prim_order.
     n_blas = pool._node_count()
     n_tris = pool.prim_off
-    t_child = np.stack(tpool.child)
-    t_count = np.stack(tpool.count)
+    b_min, b_max, b_child, b_count = pool._stacked()
+    t_min, t_max, t_child, t_count = tpool._stacked()
     internal = t_count == 0
     leaf = t_count > 0
     t_child = np.where(internal, t_child + n_blas,
@@ -318,12 +338,10 @@ def build_scene_bvh(geom: T.Geometry, instances: list[dict], protos,
     t_count = np.where(leaf, -(t_count + 1), t_count)
 
     merged = T.BVHArrays(
-        node_min=np.concatenate([np.stack(pool.node_min),
-                                 np.stack(tpool.node_min)]).astype(np.float32),
-        node_max=np.concatenate([np.stack(pool.node_max),
-                                 np.stack(tpool.node_max)]).astype(np.float32),
-        child=np.concatenate([np.stack(pool.child), t_child]).astype(np.int32),
-        count=np.concatenate([np.stack(pool.count), t_count]).astype(np.int32),
+        node_min=np.concatenate([b_min, t_min]).astype(np.float32),
+        node_max=np.concatenate([b_max, t_max]).astype(np.float32),
+        child=np.concatenate([b_child, t_child]).astype(np.int32),
+        count=np.concatenate([b_count, t_count]).astype(np.int32),
         prim_order=np.concatenate(pool.prim_order
                                   + tpool.prim_order).astype(np.int32),
         depth=pool.max_depth + tpool.max_depth + 2)

@@ -41,10 +41,19 @@ def _parse_index(tok: str, count: int) -> int:
 def load_obj(path: str, ctm: np.ndarray | None = None) -> MeshData:
     """Parse an OBJ file into numpy arrays.
 
-    ctm: optional (3,4) or (4,4) affine transform applied to vertices;
-    normals get the inverse-transpose of its linear part, then renormalized
-    (reference: src/TriangleMeshLoad.cpp:120-140).
+    Uses the native C++ two-pass parser when available (mirroring the
+    reference's native loader, src/TriangleMeshLoad.cpp:49-214), falling back
+    to pure Python. ctm: optional (3,4) or (4,4) affine transform applied to
+    vertices; normals get the inverse-transpose of its linear part, then
+    renormalized (reference: src/TriangleMeshLoad.cpp:120-140).
     """
+    from .. import native
+    nat = native.parse_obj_native(path)
+    if nat is not None:
+        return _postprocess(nat['v'], nat['vn'] if nat['has_n'] else None,
+                            nat['vt'] if nat['has_t'] else None,
+                            nat['fv'], nat['fn'], nat['ft'],
+                            nat['has_n'], nat['has_t'], ctm)
     verts: list[tuple] = []
     norms: list[tuple] = []
     uvs: list[tuple] = []
@@ -91,16 +100,27 @@ def load_obj(path: str, ctm: np.ndarray | None = None) -> MeshData:
 
     vertices = np.asarray(verts, np.float32).reshape(-1, 3)
     face_v = np.asarray(fv, np.int32).reshape(-1, 3)
+    norms_arr = np.asarray(norms, np.float32).reshape(-1, 3) if norms else None
+    uvs_arr = np.asarray(uvs, np.float32).reshape(-1, 2) if uvs else None
+    face_n = np.asarray(fn, np.int32).reshape(-1, 3) if fn else None
+    face_t = np.asarray(ft, np.int32).reshape(-1, 3) if ft else None
+    return _postprocess(vertices, norms_arr, uvs_arr, face_v, face_n, face_t,
+                        any_n, any_t, ctm)
 
+
+def _postprocess(vertices, norms, uvs, face_v, face_n, face_t,
+                 any_n, any_t, ctm) -> MeshData:
+    vertices = np.asarray(vertices, np.float32)
+    face_v = np.asarray(face_v, np.int32)
     if ctm is not None:
         ctm = np.asarray(ctm, np.float32)
         lin = ctm[:3, :3]
         trans = ctm[:3, 3] if ctm.shape[1] == 4 else np.zeros(3, np.float32)
         vertices = vertices @ lin.T + trans
 
-    if any_n and norms:
-        normals = np.asarray(norms, np.float32).reshape(-1, 3)
-        face_n = np.asarray(fn, np.int32).reshape(-1, 3)
+    if any_n and norms is not None and len(norms):
+        normals = np.asarray(norms, np.float32)
+        face_n = np.asarray(face_n, np.int32)
         if ctm is not None:
             inv_t = np.linalg.inv(ctm[:3, :3]).T
             normals = normals @ inv_t.T
@@ -113,9 +133,9 @@ def load_obj(path: str, ctm: np.ndarray | None = None) -> MeshData:
         normals /= np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-20)
         face_n = np.repeat(np.arange(len(face_v), dtype=np.int32)[:, None], 3, axis=1)
 
-    if any_t and uvs:
-        texcoords = np.asarray(uvs, np.float32).reshape(-1, 2)
-        face_t = np.asarray(ft, np.int32).reshape(-1, 3)
+    if any_t and uvs is not None and len(uvs):
+        texcoords = np.asarray(uvs, np.float32)
+        face_t = np.asarray(face_t, np.int32)
     else:
         texcoords = None
         face_t = None

@@ -1,0 +1,375 @@
+// rt_native: host-side native components for raytracer_tpu.
+//
+// TPU-native equivalents of the reference's C++ host components:
+//   - binned-SAH BVH build + wide-node collapse (reference:
+//     src/BVH.cpp:625-1106 buildBin/partitionSweepBin, src/BVH.cpp:100-389
+//     QBVH_Node::build) emitting the flattened SoA arrays consumed by the
+//     device traversal,
+//   - two-pass OBJ parser (reference: src/TriangleMeshLoad.cpp:49-214).
+//
+// Exposed as a C ABI for ctypes; geometry/bvh.py and io/objload.py fall back
+// to numpy implementations when the shared library is unavailable.
+//
+// Build: g++ -O3 -march=native -shared -fPIC rt_native.cpp -o librt_native.so
+
+#include <algorithm>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int NUM_BINS = 8;  // reference: src/Miro.h:67
+
+struct V3 {
+    float x, y, z;
+    V3() : x(0), y(0), z(0) {}
+    V3(float a, float b, float c) : x(a), y(b), z(c) {}
+};
+
+static inline V3 vmin(const V3& a, const V3& b) {
+    return V3(std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z));
+}
+static inline V3 vmax(const V3& a, const V3& b) {
+    return V3(std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z));
+}
+static inline float harea(const V3& lo, const V3& hi) {
+    float dx = std::max(hi.x - lo.x, 0.f);
+    float dy = std::max(hi.y - lo.y, 0.f);
+    float dz = std::max(hi.z - lo.z, 0.f);
+    return dx * dy + dy * dz + dz * dx;
+}
+
+struct BinNode {
+    V3 lo, hi;
+    int64_t left = -1, right = -1;  // children
+    int64_t start = -1, count = 0;  // leaf range
+};
+
+struct Builder {
+    const float* bmin;
+    const float* bmax;
+    std::vector<V3> cent;
+    std::vector<int64_t> order;
+    std::vector<BinNode> nodes;
+    int leaf_size;
+
+    V3 pmin(int64_t i) const { return V3(bmin[3 * i], bmin[3 * i + 1], bmin[3 * i + 2]); }
+    V3 pmax(int64_t i) const { return V3(bmax[3 * i], bmax[3 * i + 1], bmax[3 * i + 2]); }
+
+    int64_t build(int64_t lo, int64_t hi) {
+        int64_t me = (int64_t)nodes.size();
+        nodes.emplace_back();
+        V3 blo(FLT_MAX, FLT_MAX, FLT_MAX), bhi(-FLT_MAX, -FLT_MAX, -FLT_MAX);
+        V3 clo(FLT_MAX, FLT_MAX, FLT_MAX), chi(-FLT_MAX, -FLT_MAX, -FLT_MAX);
+        for (int64_t k = lo; k < hi; ++k) {
+            int64_t id = order[k];
+            blo = vmin(blo, pmin(id));
+            bhi = vmax(bhi, pmax(id));
+            clo = vmin(clo, cent[id]);
+            chi = vmax(chi, cent[id]);
+        }
+        nodes[me].lo = blo;
+        nodes[me].hi = bhi;
+        int64_t cnt = hi - lo;
+        if (cnt <= leaf_size) {
+            nodes[me].start = lo;
+            nodes[me].count = cnt;
+            return me;
+        }
+        // binned SAH over the 3 axes (reference: src/BVH.cpp:691-793)
+        float best_cost = FLT_MAX;
+        int best_axis = -1, best_bin = -1;
+        for (int axis = 0; axis < 3; ++axis) {
+            float cmin = axis == 0 ? clo.x : (axis == 1 ? clo.y : clo.z);
+            float cmaxv = axis == 0 ? chi.x : (axis == 1 ? chi.y : chi.z);
+            float ext = cmaxv - cmin;
+            if (ext <= 1e-12f) continue;
+            float scale = NUM_BINS * (1.0f - 1e-6f) / ext;
+            int64_t counts[NUM_BINS] = {0};
+            V3 blos[NUM_BINS], bhis[NUM_BINS];
+            for (int b = 0; b < NUM_BINS; ++b) {
+                blos[b] = V3(FLT_MAX, FLT_MAX, FLT_MAX);
+                bhis[b] = V3(-FLT_MAX, -FLT_MAX, -FLT_MAX);
+            }
+            for (int64_t k = lo; k < hi; ++k) {
+                int64_t id = order[k];
+                float c = axis == 0 ? cent[id].x : (axis == 1 ? cent[id].y : cent[id].z);
+                int b = std::min((int)((c - cmin) * scale), NUM_BINS - 1);
+                counts[b]++;
+                blos[b] = vmin(blos[b], pmin(id));
+                bhis[b] = vmax(bhis[b], pmax(id));
+            }
+            // left sweep
+            float larea[NUM_BINS];
+            int64_t lcnt[NUM_BINS];
+            V3 alo = blos[0], ahi = bhis[0];
+            int64_t acc = 0;
+            for (int b = 0; b < NUM_BINS; ++b) {
+                alo = vmin(alo, blos[b]);
+                ahi = vmax(ahi, bhis[b]);
+                acc += counts[b];
+                larea[b] = harea(alo, ahi);
+                lcnt[b] = acc;
+            }
+            // right sweep + cost
+            alo = blos[NUM_BINS - 1];
+            ahi = bhis[NUM_BINS - 1];
+            acc = 0;
+            for (int b = NUM_BINS - 1; b >= 1; --b) {
+                alo = vmin(alo, blos[b]);
+                ahi = vmax(ahi, bhis[b]);
+                acc += counts[b];
+                int64_t nl = lcnt[b - 1], nr = acc;
+                if (nl == 0 || nr == 0) continue;
+                float cost = larea[b - 1] * nl + harea(alo, ahi) * nr;
+                if (cost < best_cost) {
+                    best_cost = cost;
+                    best_axis = axis;
+                    best_bin = b - 1;
+                }
+            }
+        }
+        int64_t mid;
+        if (best_axis < 0) {
+            mid = lo + cnt / 2;  // degenerate: median split
+        } else {
+            float cmin = best_axis == 0 ? clo.x : (best_axis == 1 ? clo.y : clo.z);
+            float cmaxv = best_axis == 0 ? chi.x : (best_axis == 1 ? chi.y : chi.z);
+            float scale = NUM_BINS * (1.0f - 1e-6f) / (cmaxv - cmin);
+            auto* beg = order.data() + lo;
+            auto* end = order.data() + hi;
+            auto* it = std::partition(beg, end, [&](int64_t id) {
+                float c = best_axis == 0 ? cent[id].x
+                        : (best_axis == 1 ? cent[id].y : cent[id].z);
+                return (int)std::min((int)((c - cmin) * scale), NUM_BINS - 1)
+                       <= best_bin;
+            });
+            mid = lo + (it - beg);
+            if (mid == lo || mid == hi) mid = lo + cnt / 2;
+        }
+        int64_t l = build(lo, mid);
+        int64_t r = build(mid, hi);
+        nodes[me].left = l;
+        nodes[me].right = r;
+        return me;
+    }
+};
+
+struct WideEmitter {
+    const std::vector<BinNode>& bn;
+    int B;
+    float* node_min;
+    float* node_max;
+    int32_t* child;
+    int32_t* count;
+    int64_t cap;
+    int64_t n_out = 0;
+    int64_t prim_off;
+    int node_base;
+    int max_depth = 0;
+
+    float area(int64_t i) const { return harea(bn[i].lo, bn[i].hi); }
+
+    int64_t emit(int64_t b, int depth) {
+        if (n_out >= cap) return -1;
+        int64_t me = n_out++;
+        if (depth + 1 > max_depth) max_depth = depth + 1;
+        // collect up to B slots, expanding largest-area internal nodes
+        std::vector<int64_t> slots{b};
+        while ((int)slots.size() < B) {
+            int pick = -1;
+            float best = -1.f;
+            for (int k = 0; k < (int)slots.size(); ++k) {
+                if (bn[slots[k]].left >= 0 && area(slots[k]) > best) {
+                    best = area(slots[k]);
+                    pick = k;
+                }
+            }
+            if (pick < 0) break;
+            int64_t s = slots[pick];
+            slots.erase(slots.begin() + pick);
+            slots.push_back(bn[s].left);
+            slots.push_back(bn[s].right);
+        }
+        // init empty
+        for (int c = 0; c < B; ++c) {
+            for (int a = 0; a < 3; ++a) {
+                node_min[(me * B + c) * 3 + a] = FLT_MAX;
+                node_max[(me * B + c) * 3 + a] = -FLT_MAX;
+            }
+            child[me * B + c] = -1;
+            count[me * B + c] = -1;
+        }
+        for (int c = 0; c < (int)slots.size(); ++c) {
+            int64_t s = slots[c];
+            node_min[(me * B + c) * 3 + 0] = bn[s].lo.x;
+            node_min[(me * B + c) * 3 + 1] = bn[s].lo.y;
+            node_min[(me * B + c) * 3 + 2] = bn[s].lo.z;
+            node_max[(me * B + c) * 3 + 0] = bn[s].hi.x;
+            node_max[(me * B + c) * 3 + 1] = bn[s].hi.y;
+            node_max[(me * B + c) * 3 + 2] = bn[s].hi.z;
+            if (bn[s].left < 0) {
+                child[me * B + c] = (int32_t)(prim_off + bn[s].start);
+                count[me * B + c] = (int32_t)bn[s].count;
+            } else {
+                int64_t cid = emit(s, depth + 1);
+                if (cid < 0) return -1;
+                child[me * B + c] = (int32_t)(node_base + cid);
+                count[me * B + c] = 0;
+            }
+        }
+        return me;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build one BLAS subtree. Returns the number of wide nodes emitted (root is
+// the first), or -1 on capacity overflow. order_out receives the permutation
+// of [0, n) such that leaves cover contiguous ranges. prim_off/node_base
+// offset leaf starts / child ids for pool merging. out_depth: subtree depth.
+int64_t rt_build_bvh(const float* bmin, const float* bmax, int64_t n,
+                     int leaf_size, int branch, int64_t prim_off,
+                     int64_t node_base, float* node_min, float* node_max,
+                     int32_t* child, int32_t* count, int64_t* order_out,
+                     int64_t cap, int32_t* out_depth) {
+    Builder bld;
+    bld.bmin = bmin;
+    bld.bmax = bmax;
+    bld.leaf_size = leaf_size;
+    bld.cent.resize(n);
+    bld.order.resize(n);
+    for (int64_t i = 0; i < n; ++i) {
+        bld.cent[i] = V3(0.5f * (bmin[3 * i] + bmax[3 * i]),
+                         0.5f * (bmin[3 * i + 1] + bmax[3 * i + 1]),
+                         0.5f * (bmin[3 * i + 2] + bmax[3 * i + 2]));
+        bld.order[i] = i;
+    }
+    bld.nodes.reserve(2 * n + 2);
+    bld.build(0, n);
+
+    WideEmitter we{bld.nodes, branch, node_min, node_max, child, count,
+                   cap, 0, prim_off, (int)node_base};
+    int64_t root = we.emit(0, 0);
+    if (root < 0) return -1;
+    std::memcpy(order_out, bld.order.data(), n * sizeof(int64_t));
+    *out_depth = we.max_depth;
+    return we.n_out;
+}
+
+// ---------------------------------------------------------------------------
+// OBJ parsing (two-pass, reference: src/TriangleMeshLoad.cpp:49-214)
+// ---------------------------------------------------------------------------
+
+// Pass 1: count records. counts = {nv, nvt, nvn, ntris, has_t, has_n}
+int rt_obj_count(const char* path, int64_t* counts) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    char line[4096];
+    int64_t nv = 0, nvt = 0, nvn = 0, ntri = 0;
+    int64_t has_t = 0, has_n = 0;
+    while (fgets(line, sizeof line, f)) {
+        if (line[0] == 'v') {
+            if (line[1] == ' ' || line[1] == '\t') nv++;
+            else if (line[1] == 't') nvt++;
+            else if (line[1] == 'n') nvn++;
+        } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
+            // count corners for fan triangulation; detect formats
+            int corners = 0;
+            char* p = line + 1;
+            while (*p) {
+                while (*p == ' ' || *p == '\t') p++;
+                if (*p == '\0' || *p == '\n' || *p == '\r') break;
+                corners++;
+                const char* tok = p;
+                int slashes = 0;
+                bool tpresent = false;
+                while (*p && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') {
+                    if (*p == '/') {
+                        slashes++;
+                        if (slashes == 1 && p[1] != '/' && p[1] != ' ') tpresent = true;
+                    }
+                    p++;
+                }
+                if (slashes >= 1 && tpresent) has_t = 1;
+                if (slashes == 2) has_n = 1;
+                (void)tok;
+            }
+            if (corners >= 3) ntri += corners - 2;
+        }
+    }
+    fclose(f);
+    counts[0] = nv; counts[1] = nvt; counts[2] = nvn;
+    counts[3] = ntri; counts[4] = has_t; counts[5] = has_n;
+    return 0;
+}
+
+static inline int64_t fix_idx(long idx, int64_t n) {
+    return idx > 0 ? idx - 1 : n + idx;
+}
+
+// Pass 2: fill arrays. fv/ft/fn are ntris*3 int32 (ft/fn filled with -1 when
+// a corner lacks the record).
+int rt_obj_fill(const char* path, float* v, float* vt, float* vn,
+                int32_t* fv, int32_t* ft, int32_t* fn_) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    char line[4096];
+    int64_t iv = 0, ivt = 0, ivn = 0, itri = 0;
+    int64_t nv = 0, nvt = 0, nvn = 0;
+    while (fgets(line, sizeof line, f)) {
+        if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
+            sscanf(line + 1, "%f %f %f", &v[3 * iv], &v[3 * iv + 1], &v[3 * iv + 2]);
+            iv++; nv++;
+        } else if (line[0] == 'v' && line[1] == 't') {
+            sscanf(line + 2, "%f %f", &vt[2 * ivt], &vt[2 * ivt + 1]);
+            ivt++; nvt++;
+        } else if (line[0] == 'v' && line[1] == 'n') {
+            sscanf(line + 2, "%f %f %f", &vn[3 * ivn], &vn[3 * ivn + 1], &vn[3 * ivn + 2]);
+            ivn++; nvn++;
+        } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
+            long vi[64], ti[64], ni[64];
+            int corners = 0;
+            char* p = line + 1;
+            while (*p && corners < 64) {
+                while (*p == ' ' || *p == '\t') p++;
+                if (*p == '\0' || *p == '\n' || *p == '\r') break;
+                long a = strtol(p, &p, 10);
+                long b = 0, c = 0;
+                bool hb = false, hc = false;
+                if (*p == '/') {
+                    p++;
+                    if (*p != '/') { b = strtol(p, &p, 10); hb = true; }
+                    if (*p == '/') { p++; c = strtol(p, &p, 10); hc = true; }
+                }
+                vi[corners] = fix_idx(a, nv);
+                ti[corners] = hb ? fix_idx(b, nvt) : -1;
+                ni[corners] = hc ? fix_idx(c, nvn) : -1;
+                corners++;
+            }
+            for (int k = 1; k + 1 < corners; ++k) {
+                fv[3 * itri] = (int32_t)vi[0];
+                fv[3 * itri + 1] = (int32_t)vi[k];
+                fv[3 * itri + 2] = (int32_t)vi[k + 1];
+                ft[3 * itri] = (int32_t)ti[0];
+                ft[3 * itri + 1] = (int32_t)ti[k];
+                ft[3 * itri + 2] = (int32_t)ti[k + 1];
+                fn_[3 * itri] = (int32_t)ni[0];
+                fn_[3 * itri + 1] = (int32_t)ni[k];
+                fn_[3 * itri + 2] = (int32_t)ni[k + 1];
+                itri++;
+            }
+        }
+    }
+    fclose(f);
+    return 0;
+}
+
+}  // extern "C"

@@ -158,17 +158,30 @@ def brute_force_trace(scene: Scene, o, d, time, tmin, tmax,
 
 
 def refine_hit(scene: Scene, o, d, time, hit: Hit):
-    """Differentiably recompute (t, a, b) for the selected triangle.
+    """Differentiable (t, a, b) for the selected triangle.
 
-    Gradients flow to scene.geom.vertices (and instance transforms) through
-    this recomputation; the traversal that found `hit.tri` stays opaque.
+    Forward values are pinned bit-exactly to the traversal's hit (the
+    recomputed Moller-Trumbore is ill-conditioned at grazing/silhouette
+    triangles — recomputing t there can land the shading point inside the
+    surface and cause false self-shadowing); gradients flow through an
+    object-space recomputation, so d(loss)/d(vertices) is exact at the hit.
+    Instance transforms are treated as constants here (vertex gradients are
+    the BASELINE target; transform gradients are future work).
     """
     tri = jnp.maximum(hit.tri, 0)
-    p = gather_tri_verts(scene, tri, time)            # (..., 3, 3)
+    p = gather_tri_verts(scene, tri, time)            # (..., 3, 3) object space
     if scene.instances is not None and not scene.single_level:
-        m = scene.instances.m[jnp.maximum(hit.inst, 0)]  # (..., 3, 4)
-        p = transform_point(m[..., None, :, :], p)
-    t, a, b, _ = mt_intersect(o, d, p[..., 0, :], p[..., 1, :], p[..., 2, :])
+        mi = jax.lax.stop_gradient(
+            scene.instances.m_inv[jnp.maximum(hit.inst, 0)])
+        oo = transform_point(mi, o)
+        dd = transform_vector(mi, d)
+    else:
+        oo, dd = o, d
+    t, a, b, _ = mt_intersect(oo, dd, p[..., 0, :], p[..., 1, :], p[..., 2, :])
+    sg = jax.lax.stop_gradient
+    t = hit.t + (t - sg(t))
+    a = hit.a + (a - sg(a))
+    b = hit.b + (b - sg(b))
     v = hit.valid
     return (jnp.where(v, t, MIRO_TMAX),
             jnp.where(v, a, 0.0), jnp.where(v, b, 0.0))

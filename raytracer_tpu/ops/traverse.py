@@ -56,12 +56,16 @@ def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False) -> Hi
 
     def trace_one(o1, d1, time1, tmin1, tmax1):
         stack_n = jnp.zeros(S, jnp.int32).at[0].set(root)
-        stack_i = jnp.full(S, -1, jnp.int32)
         state = dict(sp=jnp.int32(1),
                      best_t=jnp.minimum(tmax1, MIRO_TMAX),
                      best_tri=jnp.int32(-1), best_inst=jnp.int32(0),
                      best_a=jnp.float32(0), best_b=jnp.float32(0),
-                     stack_n=stack_n, stack_i=stack_i)
+                     stack_n=stack_n)
+        if two_level:
+            # the per-ray instance stack only exists for true two-level
+            # scenes: the (R, S) while-carry lives on-chip, so single-level
+            # scenes save half the stack footprint
+            state['stack_i'] = jnp.full(S, -1, jnp.int32)
 
         def cond(s):
             go = s['sp'] > 0
@@ -72,14 +76,15 @@ def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False) -> Hi
         def body(s):
             sp = s['sp'] - 1
             node = s['stack_n'][sp]
-            iid = s['stack_i'][sp]
 
             if two_level:
+                iid = s['stack_i'][sp]
                 in_inst = iid >= 0
                 mi = inst.m_inv[jnp.maximum(iid, 0)]
                 oo = jnp.where(in_inst, transform_point(mi, o1), o1)
                 dd = jnp.where(in_inst, transform_vector(mi, d1), d1)
             else:
+                iid = jnp.int32(0)
                 oo, dd = o1, d1
             inv_d = _safe_rcp(dd)
 
@@ -129,7 +134,7 @@ def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False) -> Hi
             best_b = jnp.where(found, b[j], s['best_b'])
 
             stack_n = s['stack_n']
-            stack_i = s['stack_i']
+            stack_i = s.get('stack_i')
 
             # ---- instance leaves: push BLAS roots (two-level only)
             if two_level:
@@ -158,12 +163,17 @@ def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False) -> Hi
                 push = internal[idx]
                 stack_n = jnp.where(push, stack_n.at[sp].set(child[idx]),
                                     stack_n)
-                stack_i = jnp.where(push, stack_i.at[sp].set(iid), stack_i)
+                if two_level:
+                    stack_i = jnp.where(push, stack_i.at[sp].set(iid),
+                                        stack_i)
                 sp = jnp.where(push, sp + 1, sp)
 
-            return dict(sp=sp, best_t=best_t, best_tri=best_tri,
-                        best_inst=best_inst, best_a=best_a, best_b=best_b,
-                        stack_n=stack_n, stack_i=stack_i)
+            out = dict(sp=sp, best_t=best_t, best_tri=best_tri,
+                       best_inst=best_inst, best_a=best_a, best_b=best_b,
+                       stack_n=stack_n)
+            if two_level:
+                out['stack_i'] = stack_i
+            return out
 
         out = jax.lax.while_loop(cond, body, state)
         return (out['best_t'], out['best_tri'], out['best_inst'],

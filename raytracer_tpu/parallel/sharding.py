@@ -137,6 +137,61 @@ def loss_and_grads(params: dict, scene: Scene, cam: Camera,
     return jax.value_and_grad(loss_fn)(params)
 
 
+@partial(jax.jit, static_argnames=('settings', 'spp'))
+def _tile_loss_grad(params, scene, cam, settings: RenderSettings,
+                    target, px, py, key, spp: int):
+    """Sum-of-squares loss + grads for ONE ray tile (jitted once, reused)."""
+    def loss_fn(p):
+        s = apply_params(scene, p)
+        L = _render_local(s, cam, settings, spp, px, py, key)
+        return jnp.sum((L - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+def loss_and_grads_streamed(params: dict, scene: Scene, cam: Camera,
+                            settings: RenderSettings, target: jax.Array,
+                            key: jax.Array, spp: int = 1,
+                            tile: int | None = None):
+    """MSE loss + grads accumulated tile-by-tile with a host loop.
+
+    The all-in-one-graph grad (`loss_and_grads`) asks the compiler to
+    transpose a scan-over-tiles of scan-over-bounces of traversal loops; at
+    production ray counts that program is pathological for the TPU toolchain.
+    Streaming mirrors the reference's bucket farm (src/Scene.cpp:160-200):
+    one compiled fwd+bwd per tile shape, host accumulation — identical
+    gradients (sums commute), bounded memory, O(n_tiles) dispatches.
+    """
+    W, H = settings.width, settings.height
+    R = W * H
+    tile = tile or settings.ray_tile
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing='ij')
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
+    tgt = np.asarray(target, np.float32).reshape(-1, 3)
+    pad = (-R) % tile
+    if pad:
+        px = np.concatenate([px, np.zeros(pad, np.float32)])
+        py = np.concatenate([py, np.zeros(pad, np.float32)])
+        tgt = np.concatenate([tgt, np.zeros((pad, 3), np.float32)])
+    n_tiles = px.shape[0] // tile
+
+    total_loss = 0.0
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for ti in range(n_tiles):
+        sl = slice(ti * tile, (ti + 1) * tile)
+        k = jax.random.fold_in(key, ti)
+        l, g = _tile_loss_grad(params, scene, cam, settings,
+                               jnp.asarray(tgt[sl]), jnp.asarray(px[sl]),
+                               jnp.asarray(py[sl]), k, spp)
+        total_loss = total_loss + l
+        grads = jax.tree_util.tree_map(jnp.add, grads, g)
+    scale = 1.0 / (R * 3)
+    grads = jax.tree_util.tree_map(lambda x: x * scale, grads)
+    return total_loss * scale, grads
+
+
 def train_step(params, opt_state, optimizer, scene, cam, settings, target,
                key, mesh, spp: int = 1):
     """One optimizer step of differentiable texture/light/geometry fitting

@@ -280,8 +280,10 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
                                           k_l1, False, settings)
 
         w_d = (tp * rr_recip[:, None]) * diffuse_branch[:, None]
+        # clamp the pow base away from 0: pow(0, e) has a NaN d/de (0*log 0);
+        # 1e-12^e underflows to the same 0 with a finite gradient
         spec_term = ks * spec_amt[:, None] * \
-            jnp.power(jnp.maximum(specw, 0.0), spec_exp)[:, None]
+            jnp.power(jnp.maximum(specw, 1e-12), spec_exp)[:, None]
         spec_term = jnp.where(is_lambert[:, None], 0.0, spec_term)
         L = L + w_d * lpw * (diffuse + spec_term)
 
@@ -378,5 +380,10 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         return state, None
 
     steps = settings.max_wavefront_steps
-    state, _ = jax.lax.scan(step, state, jnp.arange(steps, dtype=jnp.int32))
+    # remat the bounce body: the backward re-executes each step instead of
+    # keeping every intermediate as a scan residual — smaller programs for
+    # the TPU compiler and far less HBM for residuals (jax.checkpoint with
+    # prevent_cse=False is the documented scan-body recipe)
+    body = jax.checkpoint(step, prevent_cse=False)
+    state, _ = jax.lax.scan(body, state, jnp.arange(steps, dtype=jnp.int32))
     return state['L']

@@ -160,6 +160,7 @@ def _sample_cdf(cdf, u):
     cdf: (..., n+1) broadcastable against u (...). Returns (pos, offset, du).
     """
     n = cdf.shape[-1] - 1
+    cdf = jnp.broadcast_to(cdf, u.shape + (n + 1,))
     count_lt = jnp.sum(cdf < u[..., None], axis=-1)
     offset = jnp.clip(count_lt - 1, 0, n - 1)
     c0 = jnp.take_along_axis(cdf, offset[..., None], axis=-1)[..., 0]
