@@ -33,12 +33,16 @@ def _safe_rcp(d):
                            jnp.where(d < 0, -tiny, tiny), d)
 
 
-@partial(jax.jit, static_argnames=('any_hit',))
-def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False) -> Hit:
+@partial(jax.jit, static_argnames=('any_hit', 'collect_stats'))
+def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False,
+              collect_stats: bool = False) -> Hit:
     """Trace a wavefront against the merged BVH -> Hit.
 
     o, d: (R,3). time/tmin/tmax scalar or (R,). any_hit: accept the first
     hit (shadow rays, reference IS_SHADOW_RAY early-out src/BVH.cpp:1438).
+    collect_stats: also return per-ray test counters {'ray_aabb', 'ray_tri'}
+    (the reference's rayBoxIntersections / rayTriangleIntersections,
+    src/BVH.h:116, src/Scene.cpp:202-216) as a second return value.
     """
     bvh = jax.lax.stop_gradient(scene.blas)
     inst = jax.lax.stop_gradient(scene.instances)
@@ -66,6 +70,9 @@ def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False) -> Hi
             # scenes: the (R, S) while-carry lives on-chip, so single-level
             # scenes save half the stack footprint
             state['stack_i'] = jnp.full(S, -1, jnp.int32)
+        if collect_stats:
+            state['n_box'] = jnp.int32(0)
+            state['n_tri'] = jnp.int32(0)
 
         def cond(s):
             go = s['sp'] > 0
@@ -173,12 +180,22 @@ def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False) -> Hi
                        stack_n=stack_n)
             if two_level:
                 out['stack_i'] = stack_i
+            if collect_stats:
+                out['n_box'] = s['n_box'] + B
+                out['n_tri'] = s['n_tri'] + jnp.sum(pmask).astype(jnp.int32)
             return out
 
         out = jax.lax.while_loop(cond, body, state)
-        return (out['best_t'], out['best_tri'], out['best_inst'],
-                out['best_a'], out['best_b'])
+        res = (out['best_t'], out['best_tri'], out['best_inst'],
+               out['best_a'], out['best_b'])
+        if collect_stats:
+            res = res + (out['n_box'], out['n_tri'])
+        return res
 
-    t, tri, iid, a, b = jax.vmap(trace_one)(o, d, time, tmin, tmax)
+    res = jax.vmap(trace_one)(o, d, time, tmin, tmax)
+    t, tri, iid, a, b = res[:5]
     t = jnp.where(tri >= 0, t, MIRO_TMAX)
-    return Hit(t=t, tri=tri, inst=iid, a=a, b=b)
+    hit = Hit(t=t, tri=tri, inst=iid, a=a, b=b)
+    if collect_stats:
+        return hit, dict(ray_aabb=res[5], ray_tri=res[6])
+    return hit

@@ -121,6 +121,13 @@ def trace_fn(scene: Scene, settings: RenderSettings):
             return isect.brute_force_trace(scene, o, d, time, tmin, tmax,
                                            any_hit)
         return tracer
+    if mode == 'pallas':
+        from ..ops import pallas as plk
+
+        def tracer(o, d, time, tmin, tmax, any_hit):
+            return plk.pallas_brute_trace(scene, o, d, time, tmin, tmax,
+                                          any_hit)
+        return tracer
     from ..ops import traverse
     def tracer(o, d, time, tmin, tmax, any_hit):
         return traverse.bvh_trace(scene, o, d, time, tmin, tmax, any_hit)

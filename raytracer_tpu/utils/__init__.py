@@ -1,0 +1,3 @@
+from . import console
+from . import checkpoint
+from . import profiling
