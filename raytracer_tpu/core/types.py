@@ -249,6 +249,13 @@ class RenderSettings:
     intersector: str = struct.field(pytree_node=False, default='auto')
     # number of rays processed per device-shard tile (padding granularity)
     ray_tile: int = struct.field(pytree_node=False, default=8 * 128)
+    # rematerialize the bounce-scan body in the backward pass. Off by
+    # default: jax.checkpoint around the scan body (either prevent_cse
+    # setting) makes the XLA:TPU backward executable fault for specific
+    # input values (deterministic kernel fault at sponza_proxy 8192-ray
+    # tiles, 3 bounces, key=fold_in(0,0); the same program without remat
+    # runs fine). Streamed tiles bound the residual memory instead.
+    remat: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

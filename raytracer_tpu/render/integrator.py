@@ -167,7 +167,7 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
 
     def step(state, step_idx):
         key = jax.random.fold_in(base_key, step_idx)
-        k_rr, k_gl, k_gi, k_disp, k_l1, k_l2, k_l3 = jax.random.split(key, 7)
+        k_rr, k_gl, k_gi, k_disp, k_l1, k_l2 = jax.random.split(key, 6)
         rnd = jax.random.uniform(k_rr, (R, 3), f32)       # rr1, rr2, disp
         rnd_gl = jax.random.uniform(k_gl, (R, 2), f32)    # glossy
         rnd_gi = jax.random.uniform(k_gi, (R, 2), f32)    # GI cosine
@@ -312,12 +312,13 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
                               w_d * mats.emitted_power[mat][:, None] * le, 0.0)
             can_gi = diffuse_branch & ~emitter & ~is_lambert \
                 & (gi_b < settings.max_bounces - 1)
-            # last GI bounce: direct-light only, diffuse term (src/Blinn.cpp:76-87)
+            # last GI bounce: direct-light only, diffuse term (src/Blinn.cpp:76-87).
+            # Reuses the NEE samples above (lpw) instead of a third
+            # sample_all_lights pass: both terms are additive, so the
+            # correlation is bias-free and the shadow-ray count drops ~1/3.
             last_gi = diffuse_branch & ~emitter & ~is_lambert \
                 & (gi_b >= settings.max_bounces - 1)
-            lp_last, _ = lt.sample_all_lights(scene, tracer, P, the_n, rvec,
-                                              time, k_l3, True, settings)
-            L = L + jnp.where(last_gi[:, None], w_d * lp_last * diffuse, 0.0)
+            L = L + jnp.where(last_gi[:, None], w_d * lpw * diffuse, 0.0)
             gi_dir = vm.cosine_sample(the_n, rnd_gi[:, 0], rnd_gi[:, 1])
         else:
             can_gi = jnp.zeros(R, bool)
@@ -387,10 +388,10 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         return state, None
 
     steps = settings.max_wavefront_steps
-    # remat the bounce body: the backward re-executes each step instead of
-    # keeping every intermediate as a scan residual — smaller programs for
-    # the TPU compiler and far less HBM for residuals (jax.checkpoint with
-    # prevent_cse=False is the documented scan-body recipe)
-    body = jax.checkpoint(step, prevent_cse=False)
+    # Optionally remat the bounce body. Default OFF: jax.checkpoint around
+    # this scan body produces a backward executable that kernel-faults the
+    # TPU for specific input values (see RenderSettings.remat); memory is
+    # bounded by streaming ray tiles instead (sharding.loss_and_grads_streamed).
+    body = jax.checkpoint(step, prevent_cse=False) if settings.remat else step
     state, _ = jax.lax.scan(body, state, jnp.arange(steps, dtype=jnp.int32))
     return state['L']
