@@ -249,6 +249,12 @@ class RenderSettings:
     intersector: str = struct.field(pytree_node=False, default='auto')
     # number of rays processed per device-shard tile (padding granularity)
     ray_tile: int = struct.field(pytree_node=False, default=8 * 128)
+    # re-sort the wavefront between bounce steps: dead rays compact to the
+    # back (their blocks early-exit), live rays order by direction octant +
+    # origin morton so ray blocks stay coherent for the block-coherent
+    # cluster tracer. Unbiased: permutations only re-bind which RNG slot a
+    # ray draws from.
+    sort_rays: bool = struct.field(pytree_node=False, default=True)
     # rematerialize the bounce-scan body in the backward pass. Off by
     # default: jax.checkpoint around the scan body (either prevent_cse
     # setting) makes the XLA:TPU backward executable fault for specific
@@ -272,6 +278,9 @@ class Scene:
     instances: Optional[Instances]
     env_exposure: Array                # ()
     bg_color: Array                    # (3,)
+    # flat triangle clusters for the block-coherent wavefront tracer
+    # (geometry/clusters.py); None when not built (e.g. two-level scenes)
+    clusters: Optional[Any] = None
     env_tex: int = struct.field(pytree_node=False, default=-1)
     # True when there is exactly one identity instance (fast single-level path)
     single_level: bool = struct.field(pytree_node=False, default=True)
