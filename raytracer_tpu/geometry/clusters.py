@@ -124,3 +124,61 @@ def build_clusters(geom: T.Geometry, cluster_size: int = 128,
     return Clusters(bb_min=cb_min, bb_max=cb_max,
                     p0=p0, e1=e1, e2=e2, p0_t1=q0, e1_t1=q1, e2_t1=q2,
                     tri=tri, cluster_size=C)
+
+
+def refresh_clusters(clusters: Clusters, geom, mb: bool) -> Clusters:
+    """Re-derive the cluster MT basis + AABBs from the CURRENT vertices.
+
+    `build_clusters` bakes vertex positions into the SoA table host-side;
+    differentiable vertex updates (parallel/sharding.apply_params) must
+    refresh the table device-side or the tracer keeps intersecting the
+    original geometry (forward values are pinned to the traversal's hit by
+    intersect.refine_hit, so stale tables freeze the render w.r.t. vertex
+    params). Topology (tri-to-cluster assignment) stays fixed: cluster AABBs
+    are recomputed so traversal remains exact, only SAH quality degrades for
+    large deformations.
+
+    All ops are jnp gathers/reductions — callable under jit; cost is one
+    rebuild of the (M, 3, C) tables per parameter update.
+    """
+    import jax.numpy as jnp
+
+    tri = jnp.asarray(clusters.tri)                      # (M, C)
+    valid = tri >= 0
+    faces = jnp.asarray(geom.face_v)[jnp.maximum(tri, 0)]  # (M, C, 3)
+
+    def basis(verts):
+        p0 = verts[faces[..., 0]]                        # (M, C, 3)
+        e1 = verts[faces[..., 1]] - p0
+        e2 = verts[faces[..., 2]] - p0
+        m = valid[..., None]
+        # padding lanes -> degenerate (det == 0, always rejected)
+        return (jnp.where(m, p0, 0.0), jnp.where(m, e1, 0.0),
+                jnp.where(m, e2, 0.0))
+
+    def corners(p0, e1, e2):
+        return jnp.stack([p0, p0 + e1, p0 + e2], axis=2)  # (M, C, 3corner, 3)
+
+    p0, e1, e2 = basis(jnp.asarray(geom.vertices))
+    pts = corners(p0, e1, e2)
+    if mb:
+        q0, q1, q2 = basis(jnp.asarray(geom.vertices_t1))
+        pts = jnp.concatenate([pts, corners(q0, q1, q2)], axis=2)
+    else:
+        q0, q1, q2 = p0, e1, e2
+
+    m4 = valid[..., None, None]
+    bb_min = jnp.min(jnp.where(m4, pts, jnp.inf), axis=(1, 2))    # (M, 3)
+    bb_max = jnp.max(jnp.where(m4, pts, -jnp.inf), axis=(1, 2))
+    # empty (all-padding) clusters keep a never-hit box
+    any_valid = jnp.any(valid, axis=1)[:, None]
+    bb_min = jnp.where(any_valid, bb_min, 3e37)
+    bb_max = jnp.where(any_valid, bb_max, -3e37)
+
+    def soa(x):  # (M, C, 3) -> (M, 3, C)
+        return x.transpose(0, 2, 1)
+
+    return clusters.replace(
+        bb_min=bb_min, bb_max=bb_max,
+        p0=soa(p0), e1=soa(e1), e2=soa(e2),
+        p0_t1=soa(q0), e1_t1=soa(q1), e2_t1=soa(q2))

@@ -92,6 +92,9 @@ def cluster_trace(scene: Scene, o, d, time, tmin, tmax,
     scene = jax.lax.stop_gradient(scene)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    time = jax.lax.stop_gradient(time)
+    tmin = jax.lax.stop_gradient(tmin)
+    tmax = jax.lax.stop_gradient(tmax)
     R = o.shape[0]
     M = cl.num_clusters
     mb = scene.has_motion_blur

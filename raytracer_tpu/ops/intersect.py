@@ -99,6 +99,9 @@ def brute_force_trace(scene: Scene, o, d, time, tmin, tmax,
     Tn = scene.num_tris
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    time = jax.lax.stop_gradient(time)
+    tmin = jax.lax.stop_gradient(tmin)
+    tmax = jax.lax.stop_gradient(tmax)
     geom = jax.lax.stop_gradient(scene.geom)
     scene_sg = jax.lax.stop_gradient(scene)
     tmin = jnp.broadcast_to(tmin, (R,))

@@ -39,6 +39,8 @@ def pallas_brute_trace(scene: Scene, o, d, time, tmin, tmax,
     valid = jnp.ones((f.shape[0],), jnp.int32)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    tmin = jax.lax.stop_gradient(tmin)
+    tmax = jax.lax.stop_gradient(tmax)
     t, tri, a, b = mt_kernel.mt_trace_pallas(o, d, p0, p1, p2, valid,
                                              tmin, tmax,
                                              interpret=_interpret())

@@ -191,9 +191,16 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
     (render.integrator.trace_fn). Gradients do not flow (ids + pinned
     floats; intersect.refine_hit recomputes differentiably).
     """
+    # Every input must be tangent-free: pallas_call has no JVP rule, so a
+    # single differentiable operand (e.g. tmax=dist from a shadow ray whose
+    # origin depends on vertices) makes scan linearization fail. Hit ids are
+    # re-derived differentiably by intersect.refine_hit.
     cl = jax.lax.stop_gradient(scene.clusters)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    time = jax.lax.stop_gradient(time)
+    tmin = jax.lax.stop_gradient(tmin)
+    tmax = jax.lax.stop_gradient(tmax)
     R = o.shape[0]
     M, _, C = cl.p0.shape
     mb = scene.has_motion_blur
@@ -258,15 +265,21 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
                 rays_r[0], t_o, tri_o, a_o, b_o,
                 any_hit=any_hit, mb=mb, M=M, C=C, RB=rb)
 
+    # under shard_map (check_vma=True) outputs must declare how they vary
+    # over mesh axes: like the ray inputs (cluster tables are replicated)
+    vma = getattr(jax.typeof(rays), 'vma', frozenset())
+
+    def out_struct(dtype):
+        try:
+            return jax.ShapeDtypeStruct((nb, 1, rb), dtype, vma=vma)
+        except TypeError:  # older jax without the vma kwarg
+            return jax.ShapeDtypeStruct((nb, 1, rb), dtype)
+
     t, tri_id, a, b = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, 1, rb), f32),
-            jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1, rb), f32),
-            jax.ShapeDtypeStruct((nb, 1, rb), f32),
-        ],
+        out_shape=[out_struct(f32), out_struct(jnp.int32),
+                   out_struct(f32), out_struct(f32)],
         interpret=interpret,
     )(bb, p0, e1, e2, q0, q1, q2, tri, rays)
 

@@ -32,6 +32,17 @@ TRI_TILE = 512
 _BIG = 3.0e38  # plain float: jnp scalars would be captured as tracer consts
 
 
+
+def _out_struct(shape, dtype, like):
+    """ShapeDtypeStruct varying over the same mesh axes as `like` (required
+    by shard_map's check_vma for pallas_call outputs)."""
+    import jax
+    vma = getattr(jax.typeof(like), 'vma', frozenset())
+    try:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    except TypeError:  # older jax without the vma kwarg
+        return jax.ShapeDtypeStruct(shape, dtype)
+
 def _mt_block(o, d, p0, p1, p2, tmin, tmax):
     """Moller-Trumbore on an (RT, TT) block. o,d: [(RT,1)]*3; p*: [(1,TT)]*3
     per component. Returns (t, a, b, ok) each (RT, TT)."""
@@ -156,10 +167,8 @@ def mt_trace_pallas(o, d, p0, p1, p2, valid, tmin, tmax, interpret=False):
                   valid_spec, ray_spec, ray_spec],
         out_specs=(out_f, pl.BlockSpec((RAY_TILE, 1), lambda i, j: (i, 0),
                                        memory_space=pltpu.VMEM), out_f, out_f),
-        out_shape=(jax.ShapeDtypeStruct((Rp, 1), f32),
-                   jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
-                   jax.ShapeDtypeStruct((Rp, 1), f32),
-                   jax.ShapeDtypeStruct((Rp, 1), f32)),
+        out_shape=tuple(_out_struct((Rp, 1), dt, o)
+                        for dt in (f32, jnp.int32, f32, f32)),
         interpret=interpret,
     )(o, d, p0, p1, p2, valid, tmin, tmax)
 

@@ -49,6 +49,9 @@ def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False,
     scene = jax.lax.stop_gradient(scene)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    time = jax.lax.stop_gradient(time)
+    tmin = jax.lax.stop_gradient(tmin)
+    tmax = jax.lax.stop_gradient(tmax)
     R = o.shape[0]
     B = bvh.child.shape[1]
     S = bvh.depth * (B - 1) + B * MAX_LEAF + 4  # worst-case stack bound
@@ -59,20 +62,24 @@ def bvh_trace(scene: Scene, o, d, time, tmin, tmax, any_hit: bool = False,
     root = scene.bvh_root
 
     def trace_one(o1, d1, time1, tmin1, tmax1):
-        stack_n = jnp.zeros(S, jnp.int32).at[0].set(root)
-        state = dict(sp=jnp.int32(1),
-                     best_t=jnp.minimum(tmax1, MIRO_TMAX),
-                     best_tri=jnp.int32(-1), best_inst=jnp.int32(0),
-                     best_a=jnp.float32(0), best_b=jnp.float32(0),
+        # derive carry inits from the per-ray inputs so their varying type
+        # (shard_map vma) matches the loop body's outputs
+        zero_f = o1[0] * 0.0
+        zero_i = zero_f.astype(jnp.int32)
+        stack_n = (jnp.zeros(S, jnp.int32) + zero_i).at[0].set(root)
+        state = dict(sp=zero_i + 1,
+                     best_t=jnp.minimum(tmax1, MIRO_TMAX) + zero_f,
+                     best_tri=zero_i - 1, best_inst=zero_i,
+                     best_a=zero_f, best_b=zero_f,
                      stack_n=stack_n)
         if two_level:
             # the per-ray instance stack only exists for true two-level
             # scenes: the (R, S) while-carry lives on-chip, so single-level
             # scenes save half the stack footprint
-            state['stack_i'] = jnp.full(S, -1, jnp.int32)
+            state['stack_i'] = jnp.full(S, -1, jnp.int32) + zero_i
         if collect_stats:
-            state['n_box'] = jnp.int32(0)
-            state['n_tri'] = jnp.int32(0)
+            state['n_box'] = zero_i
+            state['n_tri'] = zero_i
 
         def cond(s):
             go = s['sp'] > 0

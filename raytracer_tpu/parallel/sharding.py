@@ -108,9 +108,18 @@ def get_params(scene: Scene) -> dict:
 
 def apply_params(scene: Scene, params: dict) -> Scene:
     shift = params['vertices'] - scene.geom.vertices
+    geom = scene.geom.replace(vertices=params['vertices'],
+                              vertices_t1=scene.geom.vertices_t1 + shift)
+    # the cluster tables bake vertex positions host-side; refresh them
+    # device-side or the tracer intersects the ORIGINAL geometry and the
+    # render is frozen w.r.t. vertex params (refine_hit pins forward values
+    # to the traversal's hit)
+    clusters = scene.clusters
+    if clusters is not None:
+        from ..geometry.clusters import refresh_clusters
+        clusters = refresh_clusters(clusters, geom, scene.has_motion_blur)
     return scene.replace(
-        geom=scene.geom.replace(vertices=params['vertices'],
-                                vertices_t1=scene.geom.vertices_t1 + shift),
+        geom=geom, clusters=clusters,
         materials=scene.materials.replace(kd=params['kd'],
                                           spec_exp=params['spec_exp']),
         textures=scene.textures.replace(data=params['tex_data']),

@@ -19,7 +19,7 @@ import numpy as np
 from ..core.types import Camera, RenderSettings
 from ..geometry.build import SceneBuilder
 from ..geometry import shapes
-from ..io.objload import load_obj, make_single_triangle
+from ..io.objload import MeshData, load_obj, make_single_triangle
 
 ASSETS = os.environ.get('RT_ASSETS', '/root/reference')
 MODELS = os.path.join(ASSETS, 'Models')
@@ -278,4 +278,282 @@ def sponza_proxy(width=1920, height=1080, bvh=True, path_trace=True,
                               path_trace=path_trace, max_bounces=max_bounces,
                               max_wavefront_steps=max_bounces + 2
                               if path_trace else 2, **kw)
+    return scene, cam, settings
+
+
+@register('alpha_leaf')
+def alpha_leaf(size=256, bvh=True, max_bounces=5, **kw):
+    """makeAlphaTest (src/Assignment3.h:19-95): two leaf_test.obj quads with
+    Tree_03_Leaves.tga as BOTH color and alpha map (cutout), translucency 0.9,
+    one point light from below/behind, Topanga env map, path traced.
+
+    (The reference loads Topanga_Forest_B_3k.hdr which is not shipped;
+    Topanga_Forest_B_light.hdr is the shipped variant.)"""
+    from ..core import transforms as tf
+    b = SceneBuilder()
+    leaf_tex = b.add_texture_file(os.path.join(TEXTURES, 'Tree_03_Leaves.tga'))
+    env = b.add_texture_file(os.path.join(ASSETS, 'Images',
+                                          'Topanga_Forest_B_light.hdr'))
+    leaf2 = b.add_blinn(kd=(1, 1, 1), translucency=0.9,
+                        tex_color=leaf_tex, tex_alpha=leaf_tex)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'leaf_test.obj'),
+                        tf.translate(-2, 0, 0)), leaf2)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'leaf_test.obj'),
+                        tf.translate(-1, 0.5, 0)), leaf2)
+    b.add_point_light((-10, -10, -10), 4000.0)
+    b.set_env_map(env, 1.0)
+    b.set_bg_color((0, 0, 0))
+    scene = b.build(bvh=bvh)
+    cam = Camera.make(eye=(0, 3, 6), look_at=(0, 0, 0), fov=45.0,
+                      aperture=0.001, focus_plane=4.0)
+    settings = RenderSettings(width=size, height=size, path_trace=True,
+                              max_bounces=max_bounces,
+                              max_wavefront_steps=max_bounces + 2, **kw)
+    return scene, cam, settings
+
+
+@register('dispersion')
+def dispersion(size=256, bvh=True, max_bounces=6, dome_samples=6, **kw):
+    """testDispersion (src/Assignment3.h:97-193): glass sphere with
+    per-channel IOR (1.57, 1.60, 1.62), disperse=True, sky.hdr dome light
+    (power 0.15, 6 samples), Topanga env map, path traced."""
+    b = SceneBuilder()
+    sky = b.add_texture_file(os.path.join(ASSETS, 'Images', 'sky.hdr'))
+    env = b.add_texture_file(os.path.join(ASSETS, 'Images',
+                                          'Topanga_Forest_B_light.hdr'))
+    glass = b.add_blinn(kd=(0.0, 0.5, 0.5), spec_exp=30.0,
+                        ior=(1.57, 1.60, 1.62), reflect_amt=1.0,
+                        refract_amt=1.0, disperse=True)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'sphere2.obj')), glass)
+    b.set_dome_light(sky, gain=0.15, num_samples=dome_samples)
+    b.set_env_map(env, 1.0)
+    b.set_bg_color((0, 0, 0))
+    scene = b.build(bvh=bvh)
+    cam = Camera.make(eye=(0, 3, 6), look_at=(0, 2, 0), fov=45.0,
+                      aperture=0.001, focus_plane=4.0)
+    settings = RenderSettings(width=size, height=size, path_trace=True,
+                              max_bounces=max_bounces,
+                              max_wavefront_steps=max_bounces + 2, **kw)
+    return scene, cam, settings
+
+
+def _procedural_trunk(height=1.2, radius=0.05):
+    """Stand-in for the unshipped Tree0*Body.obj meshes (referenced at
+    src/main.cpp:245,320,352,366 but absent from Models/Final): a tapered
+    trunk of stacked cylinders."""
+    parts = []
+    h0 = 0.0
+    r = radius
+    for seg in range(3):
+        h = height * (0.5 if seg == 0 else 0.3 if seg == 1 else 0.2)
+        parts.append(shapes.cylinder((0.0, h0, 0.0), r, h, n_seg=8))
+        h0 += h
+        r *= 0.65
+    verts = np.concatenate([p.vertices for p in parts])
+    norms = np.concatenate([p.normals for p in parts])
+    nv = np.cumsum([0] + [len(p.vertices) for p in parts[:-1]])
+    nn = np.cumsum([0] + [len(p.normals) for p in parts[:-1]])
+    fv = np.concatenate([p.face_v + nv[i] for i, p in enumerate(parts)])
+    fn = np.concatenate([p.face_n + nn[i] for i, p in enumerate(parts)])
+    return MeshData(vertices=verts.astype(np.float32),
+                    normals=norms.astype(np.float32), texcoords=None,
+                    face_v=fv.astype(np.int32), face_n=fn.astype(np.int32),
+                    face_t=None)
+
+
+@register('final_forest')
+def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
+                 n_flowers=100, grass_grid=40, max_bounces=5, **kw):
+    """The flagship scene: makeFinalScene (src/main.cpp:132-671).
+
+    Instanced forest (tree prototypes with alpha-cutout leaf textures and
+    translucency), flower prototypes, a grass proxy grid, motion-blurred
+    dispersive glass explosion + textured cannonball, dirt ground plane,
+    sky.hdr dome light, HDR env background, thin-lens DOF camera with 0.1
+    shutter (camera01Settings, src/main.cpp:107-118).
+
+    Unshipped assets substituted: Tree0*Body.obj -> procedural trunks;
+    testGrass2.obj -> testGrass.obj; the .tga background ->
+    hdrvfx_nyany_1_n2_v101_Ref.hdr. Instance counts are parameters (the
+    reference uses ~400 trees, ~1170 flowers, 40k grass patches).
+    """
+    from ..core import transforms as tf
+    rng = np.random.default_rng(3163513)
+    b = SceneBuilder()
+
+    # env + dome (src/main.cpp:149-165)
+    env = b.add_texture_file(os.path.join(TEXTURES,
+                                          'hdrvfx_nyany_1_n2_v101_Ref.hdr'))
+    sky = b.add_texture_file(os.path.join(ASSETS, 'Images', 'sky.hdr'))
+    b.set_env_map(env, 1.5)
+    b.set_dome_light(sky, gain=0.15, num_samples=kw.pop('dome_samples', 2))
+    b.set_bg_color((0, 0, 0))
+
+    # ground plane with dirt texture (src/main.cpp:185-227)
+    dirt = b.add_texture_file(os.path.join(TEXTURES,
+                                           'ground-dirt-texture.tga'))
+    dirt_mat = b.add_blinn(kd=(0.1, 0.1, 0.1), spec_exp=30.0, ior=1.8,
+                           tex_color=dirt)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'Final', 'groundPlane.obj')),
+               dirt_mat)
+
+    # motion-blurred dispersive glass explosion (src/main.cpp:167-203)
+    glass = b.add_blinn(kd=(0.9, 0.9, 0.9), spec_exp=30.0, spec_amt=0.0,
+                        ior=1.56, reflect_amt=1.0, refract_amt=1.0,
+                        disperse=True)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'Final', 'explosion01.obj')),
+               glass,
+               load_obj(os.path.join(MODELS, 'Final', 'explosion02.obj')))
+
+    # motion-blurred cannonball (src/main.cpp:205-223)
+    bullet = b.add_texture_file(os.path.join(TEXTURES, 'bw2.tga'))
+    cball = b.add_blinn(kd=(0.01, 0.01, 0.01), spec_exp=15.0, spec_amt=0.5,
+                        ior=1.8, spec_gloss=0.9, tex_color=bullet)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'Final', 'cannonBallT1.obj')),
+               cball,
+               load_obj(os.path.join(MODELS, 'Final', 'cannonBallT2.obj')))
+
+    # ---- tree prototypes (src/main.cpp:230-395): procedural trunk + shipped
+    # alpha-cutout leaves
+    bark2 = b.add_texture_file(os.path.join(TEXTURES, 'AL04brk.tga'))
+    leaves2 = b.add_texture_file(os.path.join(TEXTURES, 'AL04aut.tga'))
+    bark3 = b.add_texture_file(os.path.join(TEXTURES, 'AL17brk.tga'))
+    leaves3 = b.add_texture_file(os.path.join(TEXTURES, 'AL17aut.tga'))
+    t2_body_m = b.add_blinn(kd=(0.5, 0.5, 0.5), spec_exp=20.0, spec_amt=0.8,
+                            tex_color=bark2)
+    t2_leaf_m = b.add_blinn(kd=(0.5, 0.5, 0.5), spec_exp=20.0, spec_amt=0.8,
+                            translucency=0.6, tex_color=leaves2,
+                            tex_alpha=leaves2)
+    t3_body_m = b.add_blinn(kd=(0.5, 0.5, 0.5), spec_exp=20.0, spec_amt=0.8,
+                            tex_color=bark3)
+    t3_leaf_m = b.add_blinn(kd=(0.5, 0.5, 0.5), spec_exp=20.0, spec_amt=0.8,
+                            translucency=0.6, tex_color=leaves3,
+                            tex_alpha=leaves3)
+
+    b.begin_prototype()
+    b.add_mesh(_procedural_trunk(), t2_body_m)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'Final', 'tree02Leaves.obj')),
+               t2_leaf_m)
+    tree2 = b.end_prototype()
+    b.begin_prototype()
+    b.add_mesh(_procedural_trunk(1.5, 0.06), t3_body_m)
+    b.add_mesh(load_obj(os.path.join(MODELS, 'Final', 'tree03Leaves.obj')),
+               t3_leaf_m)
+    tree3 = b.end_prototype()
+
+    # makeTrees placement (src/main.cpp:54-76): ring outside |x|,|z| < 100
+    placed = 0
+    while placed < n_trees:
+        x, z = rng.random(), rng.random()
+        if x * x + z * z > 1.0:
+            continue
+        tx, tz = x * 800.0, -z * 800.0
+        if tx < 100.0 and tz > -100.0:
+            continue
+        m = tf.translate(tx, rng.random() * 0.5 - 0.5, tz) \
+            @ tf.scale(rng.random() * 0.3 + 0.85, rng.random() * 0.3 + 0.85,
+                       rng.random() * 0.3 + 0.85) \
+            @ tf.rotate_y(rng.random() * 360.0)
+        b.add_instance(tree2 if placed % 2 == 0 else tree3, m)
+        placed += 1
+    # the four hand-placed near trees (src/main.cpp:231-238, 283-306)
+    b.add_instance(tree2, tf.translate(62.872, 0, -27.025) @ tf.scale(0.64))
+    b.add_instance(tree3, tf.translate(0, 0, -21.013))
+    b.add_instance(tree3, tf.translate(43.078, 0, -9.234)
+                   @ tf.rotate_y(-105.05))
+    b.add_instance(tree2, tf.translate(10.92, 0, -53.16) @ tf.scale(0.71)
+                   @ tf.rotate_y(100.0))
+
+    # ---- flower prototypes (src/main.cpp:397-655)
+    fl_bulb = b.add_texture_file(os.path.join(TEXTURES, 'bud-yellow-1.tga'))
+    fl_bulb_n = b.add_texture_file(os.path.join(TEXTURES,
+                                                'bud-yellow-1-bump_NRM.tga'))
+    fl_body_t = b.add_texture_file(os.path.join(TEXTURES,
+                                                'grass-color-23.tga'))
+    fl_leaf_t = b.add_texture_file(os.path.join(TEXTURES,
+                                                'grass-color-18.tga'))
+    fl_petal = b.add_texture_file(os.path.join(TEXTURES, 'petal-pink-02.tga'))
+    fl01_lef1 = b.add_texture_file(os.path.join(TEXTURES, 'FL30lef1.tga'))
+    fl01_stm1 = b.add_texture_file(os.path.join(TEXTURES, 'FL30stm1.tga'))
+    fl01_flo1 = b.add_texture_file(os.path.join(TEXTURES, 'FL30flo1.tga'))
+    fl01_pet1 = b.add_texture_file(os.path.join(TEXTURES, 'FL30pet1.tga'))
+    fl01_stm2 = b.add_texture_file(os.path.join(TEXTURES, 'FL30stm2.tga'))
+    fl01_lef2 = b.add_texture_file(os.path.join(TEXTURES, 'FL30lef2.tga'))
+
+    def flower_mat(tex, transl=0.0, alpha=-1, normal=-1):
+        return b.add_blinn(kd=(0.5, 0.5, 0.5), spec_exp=20.0, spec_amt=0.8,
+                           translucency=transl, tex_color=tex,
+                           tex_alpha=alpha, tex_normal=normal)
+
+    F = os.path.join(MODELS, 'Final')
+    b.begin_prototype()
+    b.add_mesh(load_obj(os.path.join(F, 'flower02Body.obj')),
+               flower_mat(fl_body_t))
+    b.add_mesh(load_obj(os.path.join(F, 'flower02Bulb.obj')),
+               flower_mat(fl_bulb, normal=fl_bulb_n))
+    b.add_mesh(load_obj(os.path.join(F, 'flower02Leaves.obj')),
+               flower_mat(fl_leaf_t, transl=0.5))
+    b.add_mesh(load_obj(os.path.join(F, 'flower02Petals.obj')),
+               flower_mat(fl_petal, transl=0.6))
+    flower02 = b.end_prototype()
+
+    b.begin_prototype()
+    b.add_mesh(load_obj(os.path.join(F, 'flower01BigLeaves.obj')),
+               flower_mat(fl01_lef1, transl=0.6, alpha=fl01_lef1))
+    b.add_mesh(load_obj(os.path.join(F, 'flower01Body.obj')),
+               flower_mat(fl01_stm1))
+    b.add_mesh(load_obj(os.path.join(F, 'flower01Bulbs01.obj')),
+               flower_mat(fl01_flo1))
+    b.add_mesh(load_obj(os.path.join(F, 'flower01Bulbs02.obj')),
+               flower_mat(fl01_flo1))
+    b.add_mesh(load_obj(os.path.join(F, 'flower01Bulbs03.obj')),
+               flower_mat(fl01_flo1))
+    b.add_mesh(load_obj(os.path.join(F, 'flower01Petals.obj')),
+               flower_mat(fl01_pet1, transl=0.6))
+    b.add_mesh(load_obj(os.path.join(F, 'flower01Pistils.obj')),
+               flower_mat(fl01_stm2))
+    b.add_mesh(load_obj(os.path.join(F, 'flower01SmallLeaves.obj')),
+               flower_mat(fl01_lef2, transl=0.6, alpha=fl01_lef2))
+    flower01 = b.end_prototype()
+
+    cam_eye = np.asarray((-1.277, 0.158, 2.139), np.float32)
+    # makeFlowers placement (src/main.cpp:78-97): disc around the camera
+    for i in range(n_flowers):
+        while True:
+            x, z = rng.random(), rng.random()
+            if x * x + z * z <= 1.0:
+                break
+        m = tf.translate(cam_eye[0] + x * 10.0,
+                         rng.random() * 0.05 - 0.025,
+                         cam_eye[2] - z * 10.0) \
+            @ tf.scale(rng.random() * 0.2 + 0.9, rng.random() * 0.2 + 0.95,
+                       rng.random() * 0.2 + 0.9) \
+            @ tf.rotate_x(rng.random() * 20.0 + 10.0) \
+            @ tf.rotate_y(rng.random() * 360.0)
+        b.add_instance(flower02 if i % 2 else flower01, m)
+
+    # ---- grass proxy grid (makeProxyGrid, src/main.cpp:38-52)
+    grass_tex = b.add_texture_file(os.path.join(TEXTURES, 'grassblade2.tga'))
+    grass_m = b.add_blinn(kd=(0.5, 0.5, 0.5), spec_exp=20.0, spec_amt=0.8,
+                          tex_color=grass_tex)
+    b.begin_prototype()
+    b.add_mesh(load_obj(os.path.join(MODELS, 'testGrass.obj')), grass_m)
+    grass = b.end_prototype()
+    for i in range(grass_grid):
+        for j in range(grass_grid):
+            m = tf.translate(-2 + i * (rng.random() * 0.2 + 0.2), 0,
+                             3 - j * (rng.random() * 0.2 + 0.2)) \
+                @ tf.scale(rng.random() * 0.3 + 0.85,
+                           rng.random() * 0.3 + 0.7,
+                           rng.random() * 0.3 + 0.85) \
+                @ tf.rotate_y(rng.random() * 360.0)
+            b.add_instance(grass, m)
+
+    scene = b.build(bvh=bvh)
+    cam = Camera.make(eye=cam_eye, look_at=(0.294, 0.511, 0.503),
+                      fov=39.0, aperture=0.0018, focus_plane=2.0,
+                      shutter=0.1)
+    settings = RenderSettings(width=width, height=height, path_trace=False,
+                              max_bounces=max_bounces,
+                              max_wavefront_steps=max_bounces + 2, **kw)
     return scene, cam, settings

@@ -81,3 +81,29 @@ def test_cluster_render_matches_bvh_render():
     img_cl = np.asarray(renderer.render(
         scene, cam, st.replace(intersector='cluster'), key, spp=1))
     np.testing.assert_allclose(img_bvh, img_cl, rtol=1e-4, atol=1e-5)
+
+
+def test_refresh_clusters_tracks_vertex_updates():
+    """apply_params must refresh the baked cluster tables: after a vertex
+    shift, cluster_trace on the updated scene must agree with brute force on
+    the updated geometry (regression: stale tables froze the forward render
+    w.r.t. vertex params on the TPU path)."""
+    from raytracer_tpu.parallel import sharding
+    scene, cam, settings = registry.make('teapot_blinn', size=8, bvh=True)
+    params = sharding.get_params(scene)
+    params['vertices'] = params['vertices'] + jnp.asarray([0.0, 0.37, 0.0])
+    shifted = jax.jit(sharding.apply_params)(scene, params)
+
+    o, d, time = _random_rays(scene, 128, seed=11)
+    o = o + jnp.asarray([0.0, 0.37, 0.0])  # keep rays relative to geometry
+    hit_cl = cluster_trace.cluster_trace(shifted, o, d, time, 1e-3, 1e12)
+    hit_bf = intersect.brute_force_trace(shifted, o, d, time, 1e-3, 1e12)
+    np.testing.assert_array_equal(np.asarray(hit_cl.tri),
+                                  np.asarray(hit_bf.tri))
+    np.testing.assert_allclose(np.asarray(hit_cl.t), np.asarray(hit_bf.t),
+                               rtol=1e-5, atol=1e-5)
+    # and the stale table really would have been wrong: original-scene
+    # clusters on shifted rays give different hits
+    hit_stale = cluster_trace.cluster_trace(scene, o, d, time, 1e-3, 1e12)
+    assert not np.array_equal(np.asarray(hit_stale.tri),
+                              np.asarray(hit_bf.tri))

@@ -1,0 +1,154 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh.
+
+VERDICT round-1 item 3: the sharding module had zero coverage. These tests
+pin the shard_map plumbing against manually-computed per-shard references
+(exact equality — sharding must only partition work, never change the
+estimator) and exercise the full training loop on a BVH scene.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracer_tpu.parallel import sharding
+from raytracer_tpu.scenes import registry
+
+SIZE = 16
+
+
+def _scene():
+    return registry.make('cornell_pt', size=SIZE, bvh=True,
+                         num_rect_samples=1, max_bounces=2)
+
+
+def _manual_sharded_render(scene, cam, settings, key, n_dev, spp=1):
+    """Replica of render_sharded's estimator: per-shard fold_in(axis_index)
+    then _render_local on that shard's pixel chunk."""
+    W, H = settings.width, settings.height
+    R = W * H
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing='ij')
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
+    pad = (-R) % n_dev
+    px = np.concatenate([px, np.zeros(pad, np.float32)])
+    py = np.concatenate([py, np.zeros(pad, np.float32)])
+    chunk = px.shape[0] // n_dev
+    outs = []
+    for i in range(n_dev):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        k = jax.random.fold_in(key, i)
+        outs.append(sharding._render_local(
+            scene, cam, settings, spp,
+            jnp.asarray(px[sl]), jnp.asarray(py[sl]), k))
+    out = jnp.concatenate(outs)[:R]
+    return out.reshape(H, W, 3)
+
+
+def test_render_sharded_matches_manual():
+    scene, cam, settings = _scene()
+    key = jax.random.PRNGKey(7)
+    mesh = sharding.make_mesh(8)
+    img = sharding.render_sharded(scene, cam, settings, key, mesh, spp=1)
+    ref = jax.jit(_manual_sharded_render,
+                  static_argnames=('settings', 'n_dev', 'spp'))(
+        scene, cam, settings, key, 8, 1)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    assert np.asarray(img).max() > 0.0
+
+
+def test_loss_and_grads_matches_manual():
+    """shard_map's transpose (psum of replicated-param cotangents) must give
+    the same gradients as differentiating the manual per-shard replica."""
+    scene, cam, settings = _scene()
+    key = jax.random.PRNGKey(3)
+    mesh = sharding.make_mesh(8)
+    params = sharding.get_params(scene)
+    target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+
+    loss, grads = sharding.loss_and_grads(params, scene, cam, settings,
+                                          target, key, mesh, spp=1)
+
+    def manual_loss(p, sc):
+        s = sharding.apply_params(sc, p)
+        img = _manual_sharded_render(s, cam, settings, key, 8, 1)
+        return jnp.mean((img - target) ** 2)
+
+    ref_loss, ref_grads = jax.jit(jax.value_and_grad(manual_loss))(params,
+                                                                   scene)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for k in grads:
+        np.testing.assert_allclose(
+            np.asarray(grads[k]), np.asarray(ref_grads[k]),
+            rtol=2e-4, atol=1e-7, err_msg=f'grad mismatch for {k}')
+    # at least the dominant params get signal
+    assert np.abs(np.asarray(grads['kd'])).max() > 0
+    assert np.abs(np.asarray(grads['rect_power'])).max() > 0
+
+
+def test_train_step_decreases_loss():
+    """BASELINE config: differentiable light/albedo fitting on cornell with
+    BVH — loss must decrease over a few adam steps.
+
+    2-device mesh: XLA CPU's in-process all-reduce aborts ("AwaitAndLogIfStuck")
+    when 8 virtual replicas of a heavy program straggle on this 2-core box;
+    the 8-way psum correctness is pinned by test_loss_and_grads_matches_manual.
+    """
+    import optax
+    scene, cam, settings = _scene()
+    key = jax.random.PRNGKey(0)
+    mesh = sharding.make_mesh(2)
+
+    # target: the scene itself rendered at higher light power
+    bright = scene.replace(rect_lights=scene.rect_lights.replace(
+        power=scene.rect_lights.power * 2.0))
+    target = sharding.render_sharded(bright, cam, settings, key, mesh, spp=1)
+
+    params = sharding.get_params(scene)
+    # optimize only the smooth light-power params: adam-sized vertex steps
+    # cause discontinuous visibility jumps that make a 3-step decrease
+    # assertion meaningless (edge gradients are a separate work item)
+    optimizer = optax.multi_transform(
+        {'fit': optax.adam(0.5), 'freeze': optax.set_to_zero()},
+        {k: ('fit' if k in ('rect_power', 'point_power') else 'freeze')
+         for k in params})
+    opt_state = optimizer.init(params)
+    losses = []
+    for i in range(4):
+        params, opt_state, loss = sharding.train_step(
+            params, opt_state, optimizer, scene, cam, settings, target,
+            key, mesh, spp=1)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # the fitted power moved toward the 2x-bright target
+    assert float(params['rect_power'][0]) > float(
+        sharding.get_params(scene)['rect_power'][0])
+
+
+def test_streamed_grads_match_unstreamed_estimator():
+    """loss_and_grads_streamed accumulates per-tile sums; with a single tile
+    covering the image and the same RNG key structure it must equal the
+    direct jit'd tile grad."""
+    scene, cam, settings = _scene()
+    key = jax.random.PRNGKey(5)
+    params = sharding.get_params(scene)
+    target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+    R = SIZE * SIZE
+
+    loss_s, grads_s = sharding.loss_and_grads_streamed(
+        params, scene, cam, settings, target, key, spp=1, tile=R)
+
+    ys, xs = np.meshgrid(np.arange(SIZE, dtype=np.float32),
+                         np.arange(SIZE, dtype=np.float32), indexing='ij')
+    l, g = sharding._tile_loss_grad(
+        params, scene, cam, settings, target.reshape(-1, 3),
+        jnp.asarray(xs.reshape(-1)), jnp.asarray(ys.reshape(-1)),
+        jax.random.fold_in(key, 0), 1)
+    scale = 1.0 / (R * 3)
+    np.testing.assert_allclose(float(loss_s), float(l) * scale, rtol=1e-6)
+    for k in grads_s:
+        np.testing.assert_allclose(np.asarray(grads_s[k]),
+                                   np.asarray(g[k]) * scale,
+                                   rtol=1e-5, atol=1e-8)
