@@ -35,7 +35,9 @@ def main():
     height = int(os.environ.get('RT_BENCH_H', 1080))
     bounces = int(os.environ.get('RT_BENCH_BOUNCES', 3))
     spp = int(os.environ.get('RT_BENCH_SPP', 1))
-    tile = int(os.environ.get('RT_BENCH_TILE', 8 * 1024))
+    # 32k-ray tiles measured fastest at 1080p (8k: dispatch-latency bound
+    # through the TPU tunnel; 64k: slightly past the sweet spot)
+    tile = int(os.environ.get('RT_BENCH_TILE', 32 * 1024))
 
     scene, cam, settings = registry.make(
         'sponza_proxy', width=width, height=height, bvh=True,
@@ -45,22 +47,27 @@ def main():
     params = sharding.get_params(scene)
     target = jnp.zeros((height, width, 3), jnp.float32)
 
-    def step():
-        return sharding.loss_and_grads_streamed(
-            params, scene, cam, settings, target, key, spp=spp, tile=tile)
+    mode = os.environ.get('RT_BENCH_MODE', 'scanned')
+
+    def step(k):
+        fn = (sharding.loss_and_grads_scanned if mode == 'scanned'
+              else sharding.loss_and_grads_streamed)
+        return fn(params, scene, cam, settings, target, k, spp=spp,
+                  tile=tile)
 
     # compile (one tile shape compiles once; the loop then streams)
     t0 = time.time()
-    loss, grads = step()
+    loss, grads = step(key)
     jax.block_until_ready((loss, grads))
     compile_s = time.time() - t0
 
-    # timed runs
+    # timed runs — distinct RNG key per iteration: identical inputs would be
+    # served from the execution-result cache and time as ~0
     n_iter = int(os.environ.get('RT_BENCH_ITERS', 2))
     t0 = time.time()
-    for _ in range(n_iter):
-        loss, grads = step()
-    jax.block_until_ready((loss, grads))
+    for i in range(n_iter):
+        loss, grads = step(jax.random.fold_in(key, 1000 + i))
+        jax.block_until_ready((loss, grads))
     dt = (time.time() - t0) / n_iter
 
     rays = width * height * spp

@@ -158,6 +158,62 @@ def _tile_loss_grad(params, scene, cam, settings: RenderSettings,
     return jax.value_and_grad(loss_fn)(params)
 
 
+@partial(jax.jit, static_argnames=('settings', 'spp', 'tile'))
+def loss_and_grads_scanned(params: dict, scene: Scene, cam: Camera,
+                           settings: RenderSettings, target: jax.Array,
+                           key: jax.Array, spp: int = 1,
+                           tile: int | None = None):
+    """MSE loss + grads, tiles accumulated by lax.scan INSIDE one program.
+
+    Same estimator as loss_and_grads_streamed (identical per-tile RNG:
+    fold_in(key, tile_index)), but the tile loop runs on-device, so a full
+    frame is ONE dispatch instead of n_tiles round trips — on the TPU tunnel
+    the host loop's per-dispatch latency dominates wall time (measured 3x at
+    1080p). Differentiation happens per tile inside the scan body
+    (value_and_grad of the tile loss), so the pathological
+    transpose-of-scan-of-traversal program that motivated streaming never
+    forms; memory stays bounded by one tile's wavefront + one grad pytree.
+    """
+    W, H = settings.width, settings.height
+    R = W * H
+    tile = tile or settings.ray_tile
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing='ij')
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
+    tgt = target.astype(jnp.float32).reshape(-1, 3)
+    pad = (-R) % tile
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros(pad, jnp.float32)])
+        py = jnp.concatenate([py, jnp.zeros(pad, jnp.float32)])
+        tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), jnp.float32)])
+    n_tiles = px.shape[0] // tile
+    px = px.reshape(n_tiles, tile)
+    py = py.reshape(n_tiles, tile)
+    tgt = tgt.reshape(n_tiles, tile, 3)
+
+    def tile_loss(p, pxt, pyt, tgt_t, k):
+        s = apply_params(scene, p)
+        L = _render_local(s, cam, settings, spp, pxt, pyt, k)
+        return jnp.sum((L - tgt_t) ** 2)
+
+    def body(carry, inp):
+        total, grads = carry
+        ti, pxt, pyt, tgt_t = inp
+        k = jax.random.fold_in(key, ti)
+        l, g = jax.value_and_grad(tile_loss)(params, pxt, pyt, tgt_t, k)
+        return (total + l,
+                jax.tree_util.tree_map(jnp.add, grads, g)), None
+
+    init = (jnp.float32(0.0),
+            jax.tree_util.tree_map(jnp.zeros_like, params))
+    (total_loss, grads), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_tiles, dtype=jnp.int32), px, py, tgt))
+    scale = 1.0 / (R * 3)
+    grads = jax.tree_util.tree_map(lambda x: x * scale, grads)
+    return total_loss * scale, grads
+
+
 def loss_and_grads_streamed(params: dict, scene: Scene, cam: Camera,
                             settings: RenderSettings, target: jax.Array,
                             key: jax.Array, spp: int = 1,

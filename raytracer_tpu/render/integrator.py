@@ -39,7 +39,7 @@ from ..ops import intersect as isect
 from ..shading import textures as tex
 from ..shading import lights as lt
 
-IOR_STACK = 6
+IOR_STACK = 12  # matches the reference's IORList depth (src/Ray.h:151-178)
 KIND_PRIMARY, KIND_GI, KIND_REFLECT, KIND_REFRACT = 0, 1, 2, 3
 
 
@@ -347,8 +347,9 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         # (isSecondary, src/DomeLight.cpp:89). Batched wavefronts mix ray
         # kinds, so we always use the configured counts — identical
         # expectation, equal-or-lower variance.
-        lpw, specw = lt.sample_all_lights(scene, tracer, P, the_n, rvec, time,
-                                          k_l1, False, settings)
+        lpw, specw, lp_back = lt.sample_all_lights(
+            scene, tracer, P, the_n, rvec, time, k_l1, False, settings,
+            want_back=scene.has_translucency)
 
         w_d = (tp * rr_recip[:, None]) * diffuse_branch[:, None]
         # clamp the pow base away from 0: pow(0, e) has a NaN d/de (0*log 0);
@@ -358,13 +359,12 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         spec_term = jnp.where(is_lambert[:, None], 0.0, spec_term)
         L = L + w_d * lpw * (diffuse + spec_term)
 
-        # translucency (src/Blinn.cpp:223-236)
+        # translucency (src/Blinn.cpp:223-236): back-hemisphere irradiance
+        # from the SAME light samples/shadow rays as the NEE pass above
+        # (shared-sample deviation documented in shading/lights.py)
         if scene.has_translucency:
             transl = mats.translucency[mat]
-            lp_t, _ = lt.sample_all_lights(scene, tracer, P, -the_n, rvec,
-                                           jnp.full_like(time, 1e-3), k_l2,
-                                           True, settings)
-            L = L + w_d * transl[:, None] * lp_t * diffuse \
+            L = L + w_d * transl[:, None] * lp_back * diffuse \
                 * (transl > 0.01)[:, None]
 
         # --------------------------------------- diffuse branch: GI bounce

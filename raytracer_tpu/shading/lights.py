@@ -13,7 +13,13 @@ Known deliberate deviations from the reference, kept for batching/sanity:
     num_samples means (the cutoff is a perf heuristic);
   - dome samples below the horizon contribute zero instead of being retried;
   - the dome specular dot is clamped at 0 (the reference can feed a negative
-    base into powf -> NaN).
+    base into powf -> NaN);
+  - translucency (the back-hemisphere pass, src/Blinn.cpp:223-236) reuses
+    the SAME light samples and shadow rays as the front pass instead of
+    drawing a second independent set with hardcoded time .001f
+    (src/Blinn.cpp:231). Identical expectation (the correlation is
+    bias-free), and it halves the shadow-ray count on translucent scenes —
+    shadow rays are the dominant per-bounce cost.
 
 Every sampler takes `tracer(o, d, time, tmin, tmax, any_hit) -> Hit` so the
 same code runs on the brute-force or BVH backend.
@@ -72,15 +78,18 @@ def _shadow_attenuation(scene: Scene, tracer, P, L, dist, time,
 
 
 def sample_point_lights(scene: Scene, tracer, P, N, rvec, time,
-                        segments: int = 4):
-    """Sum over all point lights -> (irradiance (R,3), spec (R,)).
+                        segments: int = 4, want_back: bool = False):
+    """Sum over all point lights -> (irradiance (R,3), spec (R,), back (R,3)).
 
     Mirrors src/PointLight.cpp:8-82: inverse-square falloff, N.L gating and
-    cosine folded into the attenuation, scalar wattage / 4pi.
+    cosine folded into the attenuation, scalar wattage / 4pi. `back` is the
+    same estimate for the flipped normal (translucency), reusing the shadow
+    trace.
     """
     R = P.shape[0]
     power_sum = jnp.zeros((R, 3), P.dtype)
     spec_sum = jnp.zeros(R, P.dtype)
+    back_sum = jnp.zeros((R, 3), P.dtype)
     pl = scene.point_lights
     num = pl.position.shape[0]
     for i in range(num):
@@ -89,16 +98,17 @@ def sample_point_lights(scene: Scene, tracer, P, N, rvec, time,
         dist = jnp.sqrt(d2)
         Lhat = L / dist[:, None]
         ndl = vm.dot(N, Lhat)
-        facing = ndl > 0.0
-        atten = _shadow_attenuation(
+        atten0 = _shadow_attenuation(
             scene, tracer, P, Lhat, dist, time,
             pl.cast_shadows[i], pl.fast_shadows[i], segments)
-        atten = jnp.where(facing, atten * ndl, 0.0)
-        E = (pl.power[i] * pl.color[i])[None, :] * (INV_4PI / d2)[:, None] \
-            * atten[:, None]
-        power_sum = power_sum + E
+        atten = jnp.where(ndl > 0.0, atten0 * ndl, 0.0)
+        E_base = (pl.power[i] * pl.color[i])[None, :] * (INV_4PI / d2)[:, None]
+        power_sum = power_sum + E_base * atten[:, None]
         spec_sum = spec_sum + jnp.maximum(0.0, vm.dot(rvec, Lhat)) * atten
-    return power_sum, spec_sum
+        if want_back:
+            atten_b = jnp.where(-ndl > 0.0, atten0 * -ndl, 0.0)
+            back_sum = back_sum + E_base * atten_b[:, None]
+    return power_sum, spec_sum, back_sum
 
 
 def _rect_area_power(v1, v2, v3, power):
@@ -114,11 +124,13 @@ def _rect_area_power(v1, v2, v3, power):
 
 
 def sample_rect_lights(scene: Scene, tracer, P, N, rvec, time, key,
-                       num_samples: int, segments: int = 4):
-    """Sum over all rectangle lights -> (irradiance (R,3), spec (R,))."""
+                       num_samples: int, segments: int = 4,
+                       want_back: bool = False):
+    """Sum over all rectangle lights -> (irradiance, spec, back)."""
     R = P.shape[0]
     power_sum = jnp.zeros((R, 3), P.dtype)
     spec_sum = jnp.zeros(R, P.dtype)
+    back_sum = jnp.zeros((R, 3), P.dtype)
     rl = scene.rect_lights
     num = rl.v1.shape[0]
     for i in range(num):
@@ -127,6 +139,7 @@ def sample_rect_lights(scene: Scene, tracer, P, N, rvec, time, key,
         e = jax.random.uniform(sub, (num_samples, R, 2), P.dtype)
         acc = jnp.zeros((R, 3), P.dtype)
         acc_s = jnp.zeros(R, P.dtype)
+        acc_b = jnp.zeros((R, 3), P.dtype)
         for s in range(num_samples):
             e1 = e[s, :, 0]
             e2 = jnp.minimum(e[s, :, 1], 0.99)  # src/RectangleLight.cpp:58
@@ -137,21 +150,24 @@ def sample_rect_lights(scene: Scene, tracer, P, N, rvec, time, key,
             dist = jnp.sqrt(d2)
             Lhat = L / dist[:, None]
             ndl_raw = vm.dot(N, L)
-            facing = ndl_raw > EPSILON
             # fast shadows test against dist - eps (src/RectangleLight.cpp:84)
             sh_dist = dist - EPSILON if rl.fast_shadows[i] else dist
-            atten = _shadow_attenuation(
+            atten0 = _shadow_attenuation(
                 scene, tracer, P, Lhat, sh_dist, time,
                 rl.cast_shadows[i], rl.fast_shadows[i], segments)
-            atten = jnp.where(facing, atten, 0.0)
+            atten = jnp.where(ndl_raw > EPSILON, atten0, 0.0)
             # NOTE: the reference applies no cosine term for rect lights
             # (src/RectangleLight.cpp:124-131); we match it.
             E = (p_eff * rl.color[i])[None, :] * (INV_4PI / d2)[:, None]
             acc = acc + E * atten[:, None]
             acc_s = acc_s + jnp.maximum(0.0, vm.dot(rvec, Lhat)) * atten
+            if want_back:
+                atten_b = jnp.where(-ndl_raw > EPSILON, atten0, 0.0)
+                acc_b = acc_b + E * atten_b[:, None]
         power_sum = power_sum + acc / num_samples
         spec_sum = spec_sum + acc_s / num_samples
-    return power_sum, spec_sum
+        back_sum = back_sum + acc_b / num_samples
+    return power_sum, spec_sum, back_sum
 
 
 def _sample_cdf(cdf, u):
@@ -170,8 +186,9 @@ def _sample_cdf(cdf, u):
 
 
 def sample_dome_light(scene: Scene, tracer, P, N, rvec, time, key,
-                      num_samples: int, segments: int = 4):
-    """HDR dome importance sampling -> (irradiance (R,3), spec (R,)).
+                      num_samples: int, segments: int = 4,
+                      want_back: bool = False):
+    """HDR dome importance sampling -> (irradiance, spec, back).
 
     Mirrors src/DomeLight.cpp:80-161: sample u from the marginal CDF, v from
     the column CDF, direction from the table angles (floor indices),
@@ -181,13 +198,14 @@ def sample_dome_light(scene: Scene, tracer, P, N, rvec, time, key,
     R = P.shape[0]
     if dome is None:
         z = jnp.zeros((R, 3), P.dtype)
-        return z, jnp.zeros(R, P.dtype)
+        return z, jnp.zeros(R, P.dtype), z
     nu = dome.u_func.shape[0]
     nv = dome.v_func.shape[1]
     key, sub = jax.random.split(key)
     e = jax.random.uniform(sub, (num_samples, R, 2), P.dtype)
     acc = jnp.zeros((R, 3), P.dtype)
     acc_s = jnp.zeros(R, P.dtype)
+    acc_b = jnp.zeros((R, 3), P.dtype)
     for s in range(num_samples):
         fu, uo, _ = _sample_cdf(dome.u_cdf, e[s, :, 0])
         pdf_u = dome.u_func[uo] / dome.u_func_int
@@ -201,44 +219,56 @@ def sample_dome_light(scene: Scene, tracer, P, N, rvec, time, key,
         direction = jnp.stack([-sin_t * jnp.cos(phi),
                                -jnp.cos(theta),
                                -sin_t * jnp.sin(phi)], axis=-1)
-        above = vm.dot(N, direction) >= 0.0
+        ndl = vm.dot(N, direction)
         pdf = (pdf_u * pdf_v) / (vm.TWO_PI_SQ * jnp.maximum(sin_t, 1e-8))
         radiance = tex.env_lookup(scene.textures, dome.tex, direction)
-        atten = _shadow_attenuation(
+        atten0 = _shadow_attenuation(
             scene, tracer, P, direction, MIRO_TMAX, time,
             dome.cast_shadows, dome.fast_shadows, segments)
-        atten = jnp.where(above, atten, 0.0)
+        atten = jnp.where(ndl >= 0.0, atten0, 0.0)
         E = dome.gain * radiance / jnp.maximum(pdf, 1e-20)[:, None]
         acc = acc + E * atten[:, None]
         acc_s = acc_s + jnp.maximum(0.0, vm.dot(rvec, direction)) * atten
-    return acc / num_samples, acc_s / num_samples
+        if want_back:
+            atten_b = jnp.where(-ndl >= 0.0, atten0, 0.0)
+            acc_b = acc_b + E * atten_b[:, None]
+    return acc / num_samples, acc_s / num_samples, acc_b / num_samples
 
 
 def sample_all_lights(scene: Scene, tracer, P, N, rvec, time, key,
-                      secondary: bool, settings):
+                      secondary: bool, settings, want_back: bool = False):
     """The reference per-hit light loop (src/Blinn.cpp:213-221).
 
     secondary=True forces 1 sample per area light (src/DomeLight.cpp:89).
-    Returns (lightPower (R,3), lightSpec (R,)).
+    Returns (lightPower (R,3), lightSpec (R,), backPower (R,3)); backPower
+    is the flipped-normal (translucency) estimate sharing the same shadow
+    rays, zeros unless want_back.
     """
     R = P.shape[0]
     total = jnp.zeros((R, 3), P.dtype)
     spec = jnp.zeros(R, P.dtype)
+    back = jnp.zeros((R, 3), P.dtype)
     segs = settings.shadow_segments
     if scene.point_lights.position.shape[0] > 0:
-        p, s = sample_point_lights(scene, tracer, P, N, rvec, time, segs)
+        p, s, b = sample_point_lights(scene, tracer, P, N, rvec, time, segs,
+                                      want_back)
         total += p
         spec += s
+        back += b
     if scene.rect_lights.v1.shape[0] > 0:
         ns = 1 if secondary else scene.rect_lights.num_samples
         key, sub = jax.random.split(key)
-        p, s = sample_rect_lights(scene, tracer, P, N, rvec, time, sub, ns, segs)
+        p, s, b = sample_rect_lights(scene, tracer, P, N, rvec, time, sub,
+                                     ns, segs, want_back)
         total += p
         spec += s
+        back += b
     if scene.dome is not None:
         ns = 1 if secondary else scene.dome.num_samples
         key, sub = jax.random.split(key)
-        p, s = sample_dome_light(scene, tracer, P, N, rvec, time, sub, ns, segs)
+        p, s, b = sample_dome_light(scene, tracer, P, N, rvec, time, sub,
+                                    ns, segs, want_back)
         total += p
         spec += s
-    return total, spec
+        back += b
+    return total, spec, back

@@ -1,0 +1,105 @@
+"""Tracer-backend perf table on the current jax backend (VERDICT item 2).
+
+Measures trace-only rays/s per intersector backend per scene and writes a
+markdown table to PERF.md. Run on the TPU (default env) — results feed the
+'auto' backend selection thresholds in render/integrator.trace_fn.
+
+Usage: python scripts/perf_table.py [--rays 8192] [--iters 20]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, '.')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--rays', type=int, default=8192)
+    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--out', default='PERF.md')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from raytracer_tpu.scenes import registry
+    from raytracer_tpu.render import camera as cam_mod
+
+    backend = jax.default_backend()
+    R = args.rays
+
+    scenes = [
+        ('teapot_blinn', dict(size=256, bvh=True)),
+        ('cornell_pt', dict(size=256, bvh=True)),
+        ('sponza_proxy', dict(width=256, height=256, bvh=True)),
+    ]
+    modes = ['bvh', 'cluster', 'cluster_pallas']
+
+    rows = []
+    for name, kw in scenes:
+        scene, cam, settings = registry.make(name, **kw)
+        key = jax.random.PRNGKey(0)
+        px = jnp.arange(R, dtype=jnp.float32) % 256
+        py = (jnp.arange(R, dtype=jnp.float32) // 256) % 256
+        rands = jax.random.uniform(key, (R, 5))
+        o, d, tm = cam_mod.eye_rays(cam, 256, 256, px, py,
+                                    0.0, 1.0, 0.0, 1.0, rands)
+        jax.block_until_ready((o, d))
+        row = {'scene': name, 'tris': scene.num_tris}
+        for mode in modes:
+            if mode.startswith('cluster') and scene.clusters is None:
+                row[mode] = None
+                continue
+            try:
+                if mode == 'bvh':
+                    from raytracer_tpu.ops import traverse
+                    f = jax.jit(lambda s, o, d: traverse.bvh_trace(
+                        s, o, d, 0.5, 1e-3, 1e12, False))
+                elif mode == 'cluster':
+                    from raytracer_tpu.ops import cluster_trace as ct
+                    f = jax.jit(lambda s, o, d: ct.cluster_trace(
+                        s, o, d, 0.5, 1e-3, 1e12, False))
+                else:
+                    from raytracer_tpu.ops.pallas import cluster_kernel as ck
+                    f = jax.jit(lambda s, o, d: ck.pallas_cluster_trace(
+                        s, o, d, 0.5, 1e-3, 1e12, False))
+                hit = f(scene, o, d)
+                jax.block_until_ready(hit.t)
+                t0 = time.time()
+                for _ in range(args.iters):
+                    hit = f(scene, o, d)
+                jax.block_until_ready(hit.t)
+                dt = (time.time() - t0) / args.iters
+                row[mode] = R / dt
+                print(f'{name} {mode}: {R / dt:,.0f} rays/s '
+                      f'({dt * 1e3:.2f} ms)', flush=True)
+            except Exception as e:  # noqa: BLE001 — record and move on
+                print(f'{name} {mode}: FAILED {type(e).__name__}: '
+                      f'{str(e)[:120]}', flush=True)
+                row[mode] = None
+        rows.append(row)
+
+    lines = [
+        f'# Tracer backend perf ({backend}, {R} rays/trace, '
+        f'{args.iters} iters)',
+        '',
+        'Trace-only nearest-hit rays/s (camera rays, coherent). '
+        'Feeds trace_fn `auto` selection.',
+        '',
+        '| scene | tris | ' + ' | '.join(modes) + ' |',
+        '|---|---|' + '---|' * len(modes),
+    ]
+    for row in rows:
+        cells = [f"{row[m] / 1e6:.2f} Mray/s" if row[m] else 'n/a'
+                 for m in modes]
+        lines.append(f"| {row['scene']} | {row['tris']} | "
+                     + ' | '.join(cells) + ' |')
+    with open(args.out, 'w') as fh:
+        fh.write('\n'.join(lines) + '\n')
+    print(f'wrote {args.out}')
+
+
+if __name__ == '__main__':
+    main()

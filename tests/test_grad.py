@@ -89,3 +89,51 @@ def test_grad_through_spp_render():
 
     g = jax.grad(loss)(700.0)
     assert np.isfinite(g) and g > 0
+
+
+def test_grad_rect_power():
+    """Rect-light wattage gradient vs finite differences (BASELINE target;
+    area normalization src/RectangleLight.cpp:14-40)."""
+    scene, cam, settings = registry.make('cornell_pt', size=SIZE,
+                                         num_rect_samples=1, bvh=True,
+                                         max_bounces=2)
+    loss = _loss_fn(scene, cam, settings)
+
+    def set_power(s, p):
+        return s.replace(rect_lights=s.rect_lights.replace(
+            power=jnp.full_like(s.rect_lights.power, p)))
+
+    p0 = float(scene.rect_lights.power[0])
+    g = jax.grad(lambda p: loss(set_power(scene, p)))(p0)
+    fd = _fd(loss, scene, lambda s: p0, set_power, eps=0.5)
+    assert np.isfinite(g) and g != 0.0
+    np.testing.assert_allclose(g, fd, rtol=2e-2)
+
+
+def test_grad_texture_texels():
+    """Texture-texel gradients vs finite differences (BASELINE target:
+    texels are declared differentiable params, parallel/sharding.get_params)."""
+    from raytracer_tpu.geometry.build import SceneBuilder
+    from raytracer_tpu.geometry import shapes
+    from raytracer_tpu.core.types import Camera, RenderSettings
+
+    b = SceneBuilder()
+    tex = b.add_texture(np.full((4, 4, 3), 0.5, np.float32))
+    m = b.add_blinn(kd=(1, 1, 1), tex_color=tex)
+    b.add_mesh(shapes.quad((-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)),
+               m)
+    b.add_point_light((2, 5, 2), 400.0)
+    scene = b.build(bvh=False)
+    cam = Camera.make(eye=(0, 4, 4), look_at=(0, 0, 0), fov=45.0)
+    settings = RenderSettings(width=SIZE, height=SIZE, path_trace=False,
+                              max_wavefront_steps=2)
+    loss = _loss_fn(scene, cam, settings)
+
+    def set_tex(s, v):
+        return s.replace(textures=s.textures.replace(
+            data=jnp.full_like(s.textures.data, v)))
+
+    g = jax.grad(lambda v: loss(set_tex(scene, v)))(0.5)
+    fd = _fd(loss, scene, lambda s: 0.5, set_tex, eps=1e-2)
+    assert np.isfinite(g) and g > 0.0
+    np.testing.assert_allclose(g, fd, rtol=2e-2)

@@ -152,3 +152,22 @@ def test_streamed_grads_match_unstreamed_estimator():
         np.testing.assert_allclose(np.asarray(grads_s[k]),
                                    np.asarray(g[k]) * scale,
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_scanned_grads_match_streamed():
+    """loss_and_grads_scanned (on-device tile scan, one dispatch) must equal
+    loss_and_grads_streamed (host tile loop) — same per-tile RNG, same sums."""
+    scene, cam, settings = _scene()
+    key = jax.random.PRNGKey(9)
+    params = sharding.get_params(scene)
+    target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+    tile = SIZE * SIZE // 4
+
+    l_sc, g_sc = sharding.loss_and_grads_scanned(
+        params, scene, cam, settings, target, key, spp=1, tile=tile)
+    l_st, g_st = sharding.loss_and_grads_streamed(
+        params, scene, cam, settings, target, key, spp=1, tile=tile)
+    np.testing.assert_allclose(float(l_sc), float(l_st), rtol=1e-6)
+    for k in g_sc:
+        np.testing.assert_allclose(np.asarray(g_sc[k]), np.asarray(g_st[k]),
+                                   rtol=1e-5, atol=1e-8, err_msg=k)
