@@ -191,6 +191,16 @@ class Instances:
     tri_hi: Array        # (I,) i32
 
 
+@struct.dataclass
+class EdgeTable:
+    """Unique mesh edges with face adjacency, for silhouette-edge sampling
+    (diff/edges.py). The reference has no analogue — visibility gradients
+    are new capability (BASELINE north star: reparameterized/boundary
+    sampling for d(loss)/d(vertices) across silhouettes)."""
+    vid: Array           # (E, 2) i32 — endpoint vertex ids
+    fid: Array           # (E, 2) i32 — adjacent face ids, -1 = open boundary
+
+
 EPS_SHUTTER = 1e-3  # reference Camera ctor m_shutterSpeed = epsilon
 
 
@@ -281,6 +291,9 @@ class Scene:
     # flat triangle clusters for the block-coherent wavefront tracer
     # (geometry/clusters.py); None when not built (e.g. two-level scenes)
     clusters: Optional[Any] = None
+    # unique-edge adjacency for silhouette (visibility) gradients
+    # (diff/edges.py); None when not built (two-level scenes)
+    edges: Optional['EdgeTable'] = None
     env_tex: int = struct.field(pytree_node=False, default=-1)
     # True when there is exactly one identity instance (fast single-level path)
     single_level: bool = struct.field(pytree_node=False, default=True)

@@ -1,0 +1,233 @@
+"""Silhouette edge sampling: visibility gradients for vertex positions.
+
+The interior gradient path (ops/intersect.refine_hit) differentiates shading
+at fixed hit topology; it cannot see the loss change caused by a silhouette
+MOVING across pixels — the boundary term of the pixel integral. This module
+estimates that term by Monte-Carlo sampling points on silhouette edges in
+screen space (Li et al. 2018 "Differentiable Monte Carlo Ray Tracing through
+Edge Sampling", primary-visibility case):
+
+    dI/dtheta += INT_edge (f_in - f_out) (v . n) dl
+
+with f the radiance just on either side of the projected edge, n the
+screen-space edge normal, v = dx/dtheta the screen velocity of the edge
+point, and the integral taken in pixel units against the box pixel filter.
+
+Scope (v1, documented): primary visibility of single-level static scenes,
+pinhole camera (no DOF/motion blur); secondary (shadow/GI) discontinuities
+are not sampled. The reference has no analogue — this is new capability
+(BASELINE north star).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Scene, Camera, RenderSettings, EdgeTable
+from ..core import vecmath as vm
+from ..core.vecmath import EPSILON, PI
+from ..render import camera as cam_mod
+from ..render import integrator
+
+
+def build_edge_table(face_v: np.ndarray) -> EdgeTable:
+    """Host-side unique-edge extraction with up-to-2 face adjacency.
+
+    Edges are keyed by the sorted vertex-id pair (OBJ meshes share position
+    indices). Edges with one adjacent face are open boundaries — always
+    silhouettes.
+    """
+    T = face_v.shape[0]
+    e = np.concatenate([face_v[:, [0, 1]], face_v[:, [1, 2]],
+                        face_v[:, [2, 0]]])               # (3T, 2)
+    f = np.tile(np.arange(T, dtype=np.int64), 3)
+    key = np.sort(e, axis=1)
+    order = np.lexsort((key[:, 1], key[:, 0]))
+    key = key[order]
+    f = f[order]
+    uniq = np.ones(len(key), bool)
+    uniq[1:] = np.any(key[1:] != key[:-1], axis=1)
+    starts = np.flatnonzero(uniq)
+    counts = np.diff(np.append(starts, len(key)))
+    vid = key[starts].astype(np.int32)
+    fid = np.full((len(starts), 2), -1, np.int32)
+    fid[:, 0] = f[starts]
+    two = counts >= 2
+    fid[two, 1] = f[starts[two] + 1]
+    return EdgeTable(vid=vid, fid=fid)
+
+
+def _project(cam: Camera, width: int, height: int, X):
+    """World point -> continuous pixel coords (sx, sy), depth (+ = in front).
+
+    Inverse of eye_rays' image-plane mapping (render/camera.py:38-45):
+    y = 0 is the bottom scanline.
+    """
+    u_dir, v_dir, w_dir = cam_mod.camera_basis(cam)
+    aspect = jnp.float32(width) / jnp.float32(height)
+    top = jnp.tan(cam.fov * (PI / 360.0))
+    right = aspect * top
+    q = X - cam.eye
+    qu = jnp.dot(q, u_dir)
+    qv = jnp.dot(q, v_dir)
+    depth = -jnp.dot(q, w_dir)
+    im_u = qu / jnp.maximum(depth, 1e-8)
+    im_v = qv / jnp.maximum(depth, 1e-8)
+    sx = (im_u / right + 1.0) * 0.5 * width
+    sy = (im_v / top + 1.0) * 0.5 * height
+    return jnp.stack([sx, sy]), depth
+
+
+def _screen_ray(cam: Camera, width: int, height: int, s):
+    """Continuous pixel coords -> pinhole camera ray (o, d)."""
+    u_dir, v_dir, w_dir = cam_mod.camera_basis(cam)
+    aspect = jnp.float32(width) / jnp.float32(height)
+    top = jnp.tan(cam.fov * (PI / 360.0))
+    right = aspect * top
+    im_u = (s[0] / width * 2.0 - 1.0) * right
+    im_v = (s[1] / height * 2.0 - 1.0) * top
+    d = vm.normalize((im_u * u_dir + im_v * v_dir - w_dir)[None])[0]
+    return cam.eye, d
+
+
+@partial(jax.jit, static_argnames=('settings', 'n_samples'))
+def edge_sampling_vertex_grad(scene: Scene, cam: Camera,
+                              settings: RenderSettings, dL_dimg: jax.Array,
+                              key: jax.Array,
+                              n_samples: int = 4096) -> jax.Array:
+    """Boundary-term gradient d(loss)/d(vertices) -> (V, 3).
+
+    dL_dimg: (H, W, 3) adjoint of the loss w.r.t. the rendered image
+    (row 0 = bottom scanline, matching renderer layouts).
+    """
+    W, H = settings.width, settings.height
+    g = scene.geom
+    verts = jnp.asarray(g.vertices)
+    et: EdgeTable = scene.edges
+    vid = jnp.asarray(et.vid)
+    fid = jnp.asarray(et.fid)
+    E = vid.shape[0]
+    tracer = integrator.trace_fn(scene, settings)
+
+    # ---- silhouette classification from CURRENT vertex values
+    fv = jnp.asarray(g.face_v)
+    p = verts[fv]                                          # (T, 3, 3)
+    face_n = jnp.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])  # (T, 3)
+    a = verts[vid[:, 0]]
+    b = verts[vid[:, 1]]
+    mid = 0.5 * (a + b)
+    view = mid - cam.eye
+    s0 = jnp.sum(face_n[jnp.maximum(fid[:, 0], 0)] * view, axis=-1)
+    s1 = jnp.sum(face_n[jnp.maximum(fid[:, 1], 0)] * view, axis=-1)
+    open_edge = fid[:, 1] < 0
+    silhouette = open_edge | (s0 * s1 <= 0.0)
+
+    # ---- screen-space importance: projected length of visible silhouettes
+    pa, da = jax.vmap(lambda X: _project(cam, W, H, X))(a)
+    pb, db = jax.vmap(lambda X: _project(cam, W, H, X))(b)
+    in_front = (da > 1e-4) & (db > 1e-4)
+    on_screen = ((jnp.maximum(pa[:, 0], pb[:, 0]) >= 0)
+                 & (jnp.minimum(pa[:, 0], pb[:, 0]) <= W)
+                 & (jnp.maximum(pa[:, 1], pb[:, 1]) >= 0)
+                 & (jnp.minimum(pa[:, 1], pb[:, 1]) <= H))
+    slen = jnp.linalg.norm(pb - pa, axis=-1)
+    w_edge = jnp.where(silhouette & in_front & on_screen, slen, 0.0)
+    total = jnp.sum(w_edge)
+    cdf = jnp.cumsum(w_edge) / jnp.maximum(total, 1e-20)
+
+    k_e, k_s, k_r = jax.random.split(key, 3)
+    ue = jax.random.uniform(k_e, (n_samples,))
+    es = jnp.searchsorted(cdf, ue).astype(jnp.int32)       # sampled edge ids
+    es = jnp.clip(es, 0, E - 1)
+    ss = jax.random.uniform(k_s, (n_samples,))             # position on edge
+
+    va = verts[vid[es, 0]]                                 # (M, 3)
+    vb = verts[vid[es, 1]]
+    X = va + ss[:, None] * (vb - va)                       # world edge points
+
+    def proj_s(Xp):
+        return _project(cam, W, H, Xp)[0]
+
+    xs = jax.vmap(proj_s)(X)                               # (M, 2) screen
+    J = jax.vmap(jax.jacfwd(proj_s))(X)                    # (M, 2, 3)
+
+    # screen edge normal (perpendicular to the projected edge direction)
+    e2d = jax.vmap(proj_s)(vb) - jax.vmap(proj_s)(va)      # (M, 2)
+    elen = jnp.linalg.norm(e2d, axis=-1, keepdims=True)
+    edir = e2d / jnp.maximum(elen, 1e-12)
+    n2d = jnp.stack([edir[:, 1], -edir[:, 0]], axis=-1)    # (M, 2)
+
+    # the two side rays, offset +-delta pixels across the edge
+    delta = 0.5
+    s_plus = xs + delta * n2d
+    s_minus = xs - delta * n2d
+
+    def side_radiance(spts, k):
+        o, d = jax.vmap(lambda s: _screen_ray(cam, W, H, s))(spts)
+        t0 = jnp.zeros(n_samples, jnp.float32)
+        return integrator.radiance(scene, settings, o, d, t0, k)
+
+    k1, k2 = jax.random.split(k_r)
+    f_plus = side_radiance(s_plus, k1)                     # (M, 3)
+    f_minus = side_radiance(s_minus, k2)
+
+    # visibility of the edge point itself (an occluded silhouette makes no
+    # image discontinuity): nearest hit along the ray to X not nearer than X
+    oX = jnp.broadcast_to(cam.eye, X.shape)
+    dX = X - oX
+    dist = jnp.linalg.norm(dX, axis=-1)
+    dXn = dX / jnp.maximum(dist[:, None], 1e-12)
+    hit = tracer(oX, dXn, jnp.zeros(n_samples, jnp.float32), EPSILON,
+                 jnp.float32(vm.MIRO_TMAX), False)
+    visible = hit.t >= dist * (1.0 - 1e-3)
+
+    # adjoint at the containing pixel (box filter: the sample contributes to
+    # exactly the pixel it lies in)
+    pxi = jnp.clip(jnp.floor(xs[:, 0]).astype(jnp.int32), 0, W - 1)
+    pyi = jnp.clip(jnp.floor(xs[:, 1]).astype(jnp.int32), 0, H - 1)
+    adj = dL_dimg[pyi, pxi]                                # (M, 3)
+
+    # dI = (f_minus - f_plus) (v . n) dl  [moving +n replaces f_plus area
+    # with f_minus]; importance weight total/M (p(edge) prop. to screen len,
+    # s uniform, dl = len ds)
+    scal = jnp.sum(adj * (f_minus - f_plus), axis=-1)      # (M,)
+    scal = jnp.where(visible, scal, 0.0) * (total / n_samples)
+    Jtn = jnp.einsum('mij,mi->mj', J, n2d)                 # (M, 3)
+
+    ga = scal[:, None] * (1.0 - ss)[:, None] * Jtn
+    gb = scal[:, None] * ss[:, None] * Jtn
+    grad = jnp.zeros_like(verts)
+    grad = grad.at[vid[es, 0]].add(ga)
+    grad = grad.at[vid[es, 1]].add(gb)
+    return grad
+
+
+def loss_and_grads_with_edges(params: dict, scene: Scene, cam: Camera,
+                              settings: RenderSettings, target: jax.Array,
+                              key: jax.Array, spp: int = 1,
+                              tile: int | None = None,
+                              edge_samples: int = 4096):
+    """Interior (autodiff) + boundary (edge-sampled) gradients.
+
+    MSE loss as in parallel/sharding: loss = sum((img-target)^2)/(H*W*3);
+    the boundary term uses dL/dimg = 2(img - target)/(H*W*3) evaluated on a
+    fresh forward render.
+    """
+    from ..parallel import sharding
+    from ..render import renderer
+
+    loss, grads = sharding.loss_and_grads_scanned(
+        params, scene, cam, settings, target, key, spp=spp, tile=tile)
+    s = sharding.apply_params(scene, params)
+    k_img, k_edge = jax.random.split(jax.random.fold_in(key, 0x0ede))
+    img = renderer.render(s, cam, settings, k_img, spp=spp)
+    W, H = settings.width, settings.height
+    dL_dimg = 2.0 * (img - target) / (W * H * 3)
+    g_edge = edge_sampling_vertex_grad(s, cam, settings, dL_dimg, k_edge,
+                                       n_samples=edge_samples)
+    grads = dict(grads)
+    grads['vertices'] = grads['vertices'] + g_edge
+    return loss, grads

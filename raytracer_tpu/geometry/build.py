@@ -380,15 +380,18 @@ class SceneBuilder:
         # flat clusters for the block-coherent tracer (single-level only;
         # two-level scenes traverse instance-first — see ops/traverse.py)
         clusters = None
+        edges = None
         if single_level:
             from . import clusters as cl_mod
             clusters = cl_mod.build_clusters(geom)
+            from ..diff.edges import build_edge_table
+            edges = build_edge_table(geom.face_v)
 
         return T.Scene(
             geom=geom, materials=materials, textures=textures,
             point_lights=point_lights, rect_lights=rect_lights,
             dome=self._build_dome(), blas=blas, tlas=None,
-            instances=inst_table, clusters=clusters,
+            instances=inst_table, clusters=clusters, edges=edges,
             env_exposure=np.float32(self._env_exposure),
             bg_color=self._bg, env_tex=self._env_tex,
             single_level=single_level, has_motion_blur=self._has_mb,

@@ -153,3 +153,58 @@ def cluster_trace(scene: Scene, o, d, time, tmin, tmax,
     t = jnp.where(tri >= 0, t, MIRO_TMAX)
     return Hit(t=t, tri=tri, inst=jnp.zeros((R,), jnp.int32) + zero.astype(jnp.int32),
                a=a, b=b)
+
+
+def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
+                      any_hit: bool = False, max_passes: int = 8) -> Hit:
+    """Alpha-cutout wrapper for tracers without in-kernel alpha tests.
+
+    The reference re-tests cutout lanes inside intersect4
+    (src/BVH.cpp:1401-1435); the wavefront equivalent re-traces past each
+    transparent (alpha < 0.5) hit with an advanced per-ray tmin until every
+    ray has an opaque hit or a miss. trace_once(o, d, time, tmin, tmax,
+    any_hit) -> Hit must accept a per-ray tmin array. Pass count is bounded
+    by max_passes (deep leaf stacks beyond that keep the last hit).
+    """
+    R = o.shape[0]
+    f32 = o.dtype
+    zero = jnp.zeros_like(o[:, 0])
+    tmin0 = jnp.broadcast_to(jnp.asarray(tmin, f32), (R,)) + zero
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, f32), (R,)) + zero
+    time_b = jnp.broadcast_to(jnp.asarray(time, f32), (R,)) + zero
+
+    init = dict(
+        passes=jnp.zeros((), jnp.int32) + zero[0].astype(jnp.int32),
+        tmin=tmin0,
+        done=zero > 1.0,
+        t=zero + MIRO_TMAX,
+        tri=jnp.full((R,), -1, jnp.int32) + zero.astype(jnp.int32),
+        a=zero, b=zero,
+    )
+
+    def cond(s):
+        return (s['passes'] < max_passes) & jnp.any(~s['done'])
+
+    def body(s):
+        hit = trace_once(o, d, time_b, s['tmin'], tmax_b, any_hit)
+        live = ~s['done']
+        valid = hit.valid
+        alpha = _alpha_of(scene, jnp.maximum(hit.tri, 0), hit.a, hit.b)
+        opaque = valid & (alpha >= 0.5)
+        accept = live & opaque
+        cutout = live & valid & ~opaque
+        miss = live & ~valid
+        t = jnp.where(accept, hit.t, s['t'])
+        tri = jnp.where(accept, hit.tri, s['tri'])
+        a = jnp.where(accept, hit.a, s['a'])
+        b = jnp.where(accept, hit.b, s['b'])
+        # advance past the transparent hit (relative + absolute epsilon)
+        tmin_new = jnp.where(cutout, hit.t * (1.0 + 1e-4) + 1e-4, s['tmin'])
+        return dict(passes=s['passes'] + 1, tmin=tmin_new,
+                    done=s['done'] | accept | miss,
+                    t=t, tri=tri, a=a, b=b)
+
+    s = jax.lax.while_loop(cond, body, init)
+    return Hit(t=s['t'], tri=s['tri'],
+               inst=jnp.zeros((R,), jnp.int32) + s['tri'] * 0,
+               a=s['a'], b=s['b'])

@@ -89,6 +89,42 @@ def render_sharded(scene: Scene, cam: Camera, settings: RenderSettings,
     return out[:R].reshape(H, W, 3)
 
 
+@partial(jax.jit, static_argnames=('settings', 'spp', 'mesh'))
+def render_geometry_sharded(scene: Scene, cam: Camera,
+                            settings: RenderSettings, key: jax.Array,
+                            mesh: Mesh, spp: int = 1) -> jax.Array:
+    """Primitive-sharded render: clusters sharded over the mesh, rays
+    resident, ppermute ring rounds (ops/ring_trace.py — the ring-attention
+    analogue, SURVEY §2.2). For scenes whose geometry exceeds per-chip HBM;
+    forward rendering only in v1 (vertex-refresh of sharded tables is future
+    work).
+    """
+    from ..ops.ring_trace import shard_clusters
+
+    assert scene.clusters is not None, 'geometry sharding needs clusters'
+    W, H = settings.width, settings.height
+    R = W * H
+    n_dev = mesh.devices.size
+    cl = shard_clusters(scene.clusters, n_dev)
+    scene_stripped = scene.replace(clusters=None)
+    settings = settings.replace(intersector='ring')
+    pad = (-R) % n_dev
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing='ij')
+    px = jnp.concatenate([xs.reshape(-1), jnp.zeros(pad, jnp.float32)])
+    py = jnp.concatenate([ys.reshape(-1), jnp.zeros(pad, jnp.float32)])
+
+    def fn(scene_s, cl_shard, px, py, key):
+        s = scene_s.replace(clusters=cl_shard)
+        key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+        return _render_local(s, cam, settings, spp, px, py, key)
+
+    out = shard_map(fn, mesh,
+                    in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P()),
+                    out_specs=P(AXIS))(scene_stripped, cl, px, py, key)
+    return out[:R].reshape(H, W, 3)
+
+
 # ---------------------------------------------------------------------------
 # Differentiable multi-chip training step (inverse rendering)
 # ---------------------------------------------------------------------------

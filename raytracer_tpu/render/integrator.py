@@ -143,9 +143,11 @@ def _sort_wavefront(state: dict) -> dict:
 
 
 def _pallas_cluster_ok(scene: Scene) -> bool:
-    """Kernel eligibility: single-level, no alpha cutout, table fits VMEM."""
+    """Kernel eligibility: single-level, table fits VMEM. Alpha-cutout
+    scenes are handled by the re-trace wrapper (cluster_trace.
+    alpha_aware_trace) around the kernel."""
     cl = scene.clusters
-    if cl is None or scene.has_alpha_maps or not scene.single_level:
+    if cl is None or not scene.single_level:
         return False
     M, _, C = cl.p0.shape
     n_basis = 6 if scene.has_motion_blur else 3
@@ -185,9 +187,28 @@ def trace_fn(scene: Scene, settings: RenderSettings):
     if mode == 'cluster_pallas':
         from ..ops.pallas import cluster_kernel as ck
 
+        if scene.has_alpha_maps:
+            from ..ops import cluster_trace as ct
+
+            def tracer(o, d, time, tmin, tmax, any_hit):
+                def once(o_, d_, tm_, tn_, tx_, ah):
+                    return ck.pallas_cluster_trace(scene, o_, d_, tm_, tn_,
+                                                   tx_, ah)
+                return ct.alpha_aware_trace(scene, once, o, d, time, tmin,
+                                            tmax, any_hit)
+            return tracer
+
         def tracer(o, d, time, tmin, tmax, any_hit):
             return ck.pallas_cluster_trace(scene, o, d, time, tmin, tmax,
                                            any_hit)
+        return tracer
+    if mode == 'ring':
+        # geometry-sharded: scene.clusters holds THIS device's shard; must
+        # run inside shard_map (parallel/sharding.render_geometry_sharded)
+        from ..ops import ring_trace as ring
+
+        def tracer(o, d, time, tmin, tmax, any_hit):
+            return ring.ring_trace(scene, o, d, time, tmin, tmax, any_hit)
         return tracer
     from ..ops import traverse
     def tracer(o, d, time, tmin, tmax, any_hit):

@@ -107,3 +107,31 @@ def test_refresh_clusters_tracks_vertex_updates():
     hit_stale = cluster_trace.cluster_trace(scene, o, d, time, 1e-3, 1e12)
     assert not np.array_equal(np.asarray(hit_stale.tri),
                               np.asarray(hit_bf.tri))
+
+
+def test_alpha_aware_pallas_matches_brute():
+    """Alpha-cutout scenes through the pallas kernel + re-trace wrapper must
+    agree with the alpha-aware brute-force tracer (interpret mode on CPU)."""
+    scene, cam, settings = registry.make('alpha_leaf', size=8, max_bounces=2)
+    assert scene.has_alpha_maps
+    from raytracer_tpu.render import camera as cam_mod
+    R = 256
+    key = jax.random.PRNGKey(3)
+    px = jnp.arange(R, dtype=jnp.float32) % 8
+    py = (jnp.arange(R, dtype=jnp.float32) // 8) % 8
+    rands = jax.random.uniform(key, (R, 5))
+    o, d, tm = cam_mod.eye_rays(cam, 8, 8, px, py, 0.0, 1.0, 0.0, 1.0, rands)
+
+    @jax.jit
+    def traced(scene, o, d, tm):
+        def once(o_, d_, t_, tn_, tx_, ah):
+            return cluster_kernel.pallas_cluster_trace(scene, o_, d_, t_,
+                                                       tn_, tx_, ah)
+        return cluster_trace.alpha_aware_trace(scene, once, o, d, tm,
+                                               1e-3, 1e12)
+
+    hit_p = traced(scene, o, d, tm)
+    hit_b = intersect.brute_force_trace(scene, o, d, tm, 1e-3, 1e12)
+    np.testing.assert_array_equal(np.asarray(hit_p.tri), np.asarray(hit_b.tri))
+    np.testing.assert_allclose(np.asarray(hit_p.t), np.asarray(hit_b.t),
+                               rtol=1e-5, atol=1e-4)

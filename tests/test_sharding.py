@@ -171,3 +171,55 @@ def test_scanned_grads_match_streamed():
     for k in g_sc:
         np.testing.assert_allclose(np.asarray(g_sc[k]), np.asarray(g_st[k]),
                                    rtol=1e-5, atol=1e-8, err_msg=k)
+
+
+def test_ring_trace_matches_replicated():
+    """Geometry-sharded ring tracer (ppermute rounds over cluster shards)
+    must find the same hits as the replicated cluster tracer."""
+    from jax.sharding import PartitionSpec as P
+    from raytracer_tpu.ops import cluster_trace, ring_trace
+
+    scene, cam, settings = _scene()
+    key = jax.random.PRNGKey(4)
+    R = 64
+    # random rays toward the box interior
+    k1, k2 = jax.random.split(key)
+    o = jnp.asarray([2.5, 2.5, 5.0]) + jax.random.normal(k1, (R, 3)) * 0.5
+    tgt = jnp.asarray([2.5, 2.5, -1.0]) + jax.random.normal(k2, (R, 3))
+    d = tgt - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    time = jnp.zeros(R)
+
+    ref = cluster_trace.cluster_trace(scene, o, d, time, 1e-3, 1e12)
+
+    mesh = sharding.make_mesh(8)
+    cl = ring_trace.shard_clusters(scene.clusters, 8)
+    scene_s = scene.replace(clusters=None)
+
+    def fn(scene_s, cl_shard, o, d, time):
+        s = scene_s.replace(clusters=cl_shard)
+        hit = ring_trace.ring_trace(s, o, d, time, 1e-3, 1e12)
+        return hit.t, hit.tri, hit.a, hit.b
+
+    t, tri, a, b = sharding.shard_map(
+        fn, mesh,
+        in_specs=(P(), P(sharding.AXIS), P(sharding.AXIS),
+                  P(sharding.AXIS), P(sharding.AXIS)),
+        out_specs=P(sharding.AXIS))(scene_s, cl, o, d, time)
+
+    np.testing.assert_array_equal(np.asarray(tri), np.asarray(ref.tri))
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_render_geometry_sharded_matches_replicated():
+    """Primitive-sharded full render == replicated data-parallel render
+    (same per-shard RNG; only the tracer differs, and both are exact)."""
+    scene, cam, settings = _scene()
+    key = jax.random.PRNGKey(6)
+    mesh = sharding.make_mesh(8)
+    img_ring = sharding.render_geometry_sharded(scene, cam, settings, key,
+                                                mesh, spp=1)
+    img_rep = sharding.render_sharded(scene, cam, settings, key, mesh, spp=1)
+    np.testing.assert_allclose(np.asarray(img_ring), np.asarray(img_rep),
+                               rtol=1e-4, atol=1e-5)
