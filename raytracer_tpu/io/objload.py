@@ -200,3 +200,34 @@ def make_single_triangle(v0, v1, v2, n=None) -> MeshData:
         face_n=np.asarray([[0, 1, 2]], np.int32),
         face_t=None,
     )
+
+
+def transform_mesh(mesh: MeshData, m: np.ndarray) -> MeshData:
+    """Return a world-space copy of `mesh` under the (3,4)/(4,4) affine `m`.
+
+    Vertices by m; normals by the inverse transpose of the linear part,
+    renormalized; tangent frames by the linear part (reference
+    loadObj-with-CTM semantics, src/TriangleMeshLoad.cpp:120-140). Used to
+    BAKE instances into single-level geometry when the flattened triangle
+    count fits memory — the TPU block-coherent tracer is 2-3x faster than
+    two-level pointer traversal (PERF.md).
+    """
+    m = np.asarray(m, np.float32)
+    if m.shape == (4, 4):
+        m = m[:3]
+    lin = m[:, :3]
+    lin_it = np.linalg.inv(lin).T.astype(np.float32)
+
+    def unit(v):
+        n = np.linalg.norm(v, axis=-1, keepdims=True)
+        return (v / np.maximum(n, 1e-20)).astype(np.float32)
+
+    tangents = mesh.tangents
+    bitangents = mesh.bitangents
+    return MeshData(
+        vertices=(mesh.vertices @ lin.T + m[:, 3]).astype(np.float32),
+        normals=unit(mesh.normals @ lin_it.T),
+        texcoords=mesh.texcoords,
+        face_v=mesh.face_v, face_n=mesh.face_n, face_t=mesh.face_t,
+        tangents=None if tangents is None else unit(tangents @ lin.T),
+        bitangents=None if bitangents is None else unit(bitangents @ lin.T))

@@ -363,7 +363,8 @@ def _procedural_trunk(height=1.2, radius=0.05):
 
 @register('final_forest')
 def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
-                 n_flowers=100, grass_grid=40, max_bounces=5, **kw):
+                 n_flowers=100, grass_grid=40, max_bounces=5,
+                 flatten=False, **kw):
     """The flagship scene: makeFinalScene (src/main.cpp:132-671).
 
     Instanced forest (tree prototypes with alpha-cutout leaf textures and
@@ -376,10 +377,53 @@ def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
     testGrass2.obj -> testGrass.obj; the .tga background ->
     hdrvfx_nyany_1_n2_v101_Ref.hdr. Instance counts are parameters (the
     reference uses ~400 trees, ~1170 flowers, 40k grass patches).
+
+    flatten=True bakes instances into world-space triangles: single-level
+    geometry takes the block-coherent cluster tracer on TPU (2-3x faster
+    than two-level traversal, PERF.md) at the cost of memory proportional
+    to the flattened triangle count.
     """
     from ..core import transforms as tf
+    from ..io.objload import transform_mesh
     rng = np.random.default_rng(3163513)
     b = SceneBuilder()
+
+    class _Inst:
+        """Prototype/instance shim: flatten=True BAKES each placement as
+        world-space geometry (single-level -> the fast block-coherent TPU
+        tracer); flatten=False keeps true two-level instancing
+        (reference ProxyObject semantics, memory-bounded)."""
+        def __init__(self):
+            self.protos = []
+            self.cur = None
+
+        def begin(self):
+            if flatten:
+                self.cur = []
+            else:
+                b.begin_prototype()
+
+        def mesh(self, mesh, mat):
+            if flatten:
+                self.cur.append((mesh, mat))
+            else:
+                b.add_mesh(mesh, mat)
+
+        def end(self):
+            if flatten:
+                self.protos.append(self.cur)
+                self.cur = None
+                return len(self.protos) - 1
+            return b.end_prototype()
+
+        def inst(self, proto, m):
+            if flatten:
+                for mesh, mat in self.protos[proto]:
+                    b.add_mesh(transform_mesh(mesh, m), mat)
+            else:
+                b.add_instance(proto, m)
+
+    I = _Inst()
 
     # env + dome (src/main.cpp:149-165)
     env = b.add_texture_file(os.path.join(TEXTURES,
@@ -430,16 +474,16 @@ def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
                             translucency=0.6, tex_color=leaves3,
                             tex_alpha=leaves3)
 
-    b.begin_prototype()
-    b.add_mesh(_procedural_trunk(), t2_body_m)
-    b.add_mesh(load_obj(os.path.join(MODELS, 'Final', 'tree02Leaves.obj')),
+    I.begin()
+    I.mesh(_procedural_trunk(), t2_body_m)
+    I.mesh(load_obj(os.path.join(MODELS, 'Final', 'tree02Leaves.obj')),
                t2_leaf_m)
-    tree2 = b.end_prototype()
-    b.begin_prototype()
-    b.add_mesh(_procedural_trunk(1.5, 0.06), t3_body_m)
-    b.add_mesh(load_obj(os.path.join(MODELS, 'Final', 'tree03Leaves.obj')),
+    tree2 = I.end()
+    I.begin()
+    I.mesh(_procedural_trunk(1.5, 0.06), t3_body_m)
+    I.mesh(load_obj(os.path.join(MODELS, 'Final', 'tree03Leaves.obj')),
                t3_leaf_m)
-    tree3 = b.end_prototype()
+    tree3 = I.end()
 
     # makeTrees placement (src/main.cpp:54-76): ring outside |x|,|z| < 100
     placed = 0
@@ -454,14 +498,14 @@ def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
             @ tf.scale(rng.random() * 0.3 + 0.85, rng.random() * 0.3 + 0.85,
                        rng.random() * 0.3 + 0.85) \
             @ tf.rotate_y(rng.random() * 360.0)
-        b.add_instance(tree2 if placed % 2 == 0 else tree3, m)
+        I.inst(tree2 if placed % 2 == 0 else tree3, m)
         placed += 1
     # the four hand-placed near trees (src/main.cpp:231-238, 283-306)
-    b.add_instance(tree2, tf.translate(62.872, 0, -27.025) @ tf.scale(0.64))
-    b.add_instance(tree3, tf.translate(0, 0, -21.013))
-    b.add_instance(tree3, tf.translate(43.078, 0, -9.234)
+    I.inst(tree2, tf.translate(62.872, 0, -27.025) @ tf.scale(0.64))
+    I.inst(tree3, tf.translate(0, 0, -21.013))
+    I.inst(tree3, tf.translate(43.078, 0, -9.234)
                    @ tf.rotate_y(-105.05))
-    b.add_instance(tree2, tf.translate(10.92, 0, -53.16) @ tf.scale(0.71)
+    I.inst(tree2, tf.translate(10.92, 0, -53.16) @ tf.scale(0.71)
                    @ tf.rotate_y(100.0))
 
     # ---- flower prototypes (src/main.cpp:397-655)
@@ -486,35 +530,35 @@ def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
                            tex_alpha=alpha, tex_normal=normal)
 
     F = os.path.join(MODELS, 'Final')
-    b.begin_prototype()
-    b.add_mesh(load_obj(os.path.join(F, 'flower02Body.obj')),
+    I.begin()
+    I.mesh(load_obj(os.path.join(F, 'flower02Body.obj')),
                flower_mat(fl_body_t))
-    b.add_mesh(load_obj(os.path.join(F, 'flower02Bulb.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower02Bulb.obj')),
                flower_mat(fl_bulb, normal=fl_bulb_n))
-    b.add_mesh(load_obj(os.path.join(F, 'flower02Leaves.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower02Leaves.obj')),
                flower_mat(fl_leaf_t, transl=0.5))
-    b.add_mesh(load_obj(os.path.join(F, 'flower02Petals.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower02Petals.obj')),
                flower_mat(fl_petal, transl=0.6))
-    flower02 = b.end_prototype()
+    flower02 = I.end()
 
-    b.begin_prototype()
-    b.add_mesh(load_obj(os.path.join(F, 'flower01BigLeaves.obj')),
+    I.begin()
+    I.mesh(load_obj(os.path.join(F, 'flower01BigLeaves.obj')),
                flower_mat(fl01_lef1, transl=0.6, alpha=fl01_lef1))
-    b.add_mesh(load_obj(os.path.join(F, 'flower01Body.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower01Body.obj')),
                flower_mat(fl01_stm1))
-    b.add_mesh(load_obj(os.path.join(F, 'flower01Bulbs01.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower01Bulbs01.obj')),
                flower_mat(fl01_flo1))
-    b.add_mesh(load_obj(os.path.join(F, 'flower01Bulbs02.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower01Bulbs02.obj')),
                flower_mat(fl01_flo1))
-    b.add_mesh(load_obj(os.path.join(F, 'flower01Bulbs03.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower01Bulbs03.obj')),
                flower_mat(fl01_flo1))
-    b.add_mesh(load_obj(os.path.join(F, 'flower01Petals.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower01Petals.obj')),
                flower_mat(fl01_pet1, transl=0.6))
-    b.add_mesh(load_obj(os.path.join(F, 'flower01Pistils.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower01Pistils.obj')),
                flower_mat(fl01_stm2))
-    b.add_mesh(load_obj(os.path.join(F, 'flower01SmallLeaves.obj')),
+    I.mesh(load_obj(os.path.join(F, 'flower01SmallLeaves.obj')),
                flower_mat(fl01_lef2, transl=0.6, alpha=fl01_lef2))
-    flower01 = b.end_prototype()
+    flower01 = I.end()
 
     cam_eye = np.asarray((-1.277, 0.158, 2.139), np.float32)
     # makeFlowers placement (src/main.cpp:78-97): disc around the camera
@@ -530,15 +574,15 @@ def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
                        rng.random() * 0.2 + 0.9) \
             @ tf.rotate_x(rng.random() * 20.0 + 10.0) \
             @ tf.rotate_y(rng.random() * 360.0)
-        b.add_instance(flower02 if i % 2 else flower01, m)
+        I.inst(flower02 if i % 2 else flower01, m)
 
     # ---- grass proxy grid (makeProxyGrid, src/main.cpp:38-52)
     grass_tex = b.add_texture_file(os.path.join(TEXTURES, 'grassblade2.tga'))
     grass_m = b.add_blinn(kd=(0.5, 0.5, 0.5), spec_exp=20.0, spec_amt=0.8,
                           tex_color=grass_tex)
-    b.begin_prototype()
-    b.add_mesh(load_obj(os.path.join(MODELS, 'testGrass.obj')), grass_m)
-    grass = b.end_prototype()
+    I.begin()
+    I.mesh(load_obj(os.path.join(MODELS, 'testGrass.obj')), grass_m)
+    grass = I.end()
     for i in range(grass_grid):
         for j in range(grass_grid):
             m = tf.translate(-2 + i * (rng.random() * 0.2 + 0.2), 0,
@@ -547,7 +591,7 @@ def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
                            rng.random() * 0.3 + 0.7,
                            rng.random() * 0.3 + 0.85) \
                 @ tf.rotate_y(rng.random() * 360.0)
-            b.add_instance(grass, m)
+            I.inst(grass, m)
 
     scene = b.build(bvh=bvh)
     cam = Camera.make(eye=cam_eye, look_at=(0.294, 0.511, 0.503),
