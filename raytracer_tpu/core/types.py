@@ -294,6 +294,13 @@ class Scene:
     # unique-edge adjacency for silhouette (visibility) gradients
     # (diff/edges.py); None when not built (two-level scenes)
     edges: Optional['EdgeTable'] = None
+    # two-level instanced cluster tables (geometry/clusters.py
+    # InstancedClusters) for the block-coherent instanced tracer; None for
+    # single-level scenes or when unsupported (MB prototypes)
+    iclusters: Optional[Any] = None
+    # single-level cluster table covering ONLY the motion-blurred world
+    # triangles of a two-level scene (traced separately, merged by t)
+    mb_clusters: Optional[Any] = None
     env_tex: int = struct.field(pytree_node=False, default=-1)
     # True when there is exactly one identity instance (fast single-level path)
     single_level: bool = struct.field(pytree_node=False, default=True)

@@ -103,6 +103,12 @@ def edge_sampling_vertex_grad(scene: Scene, cam: Camera,
     dL_dimg: (H, W, 3) adjoint of the loss w.r.t. the rendered image
     (row 0 = bottom scanline, matching renderer layouts).
     """
+    if scene.edges is None:
+        raise ValueError(
+            'scene has no edge table (scene.edges is None) — edge-sampled '
+            'visibility gradients need build_edge_table, which SceneBuilder '
+            'only constructs for single-level scenes; use the interior-only '
+            'gradient (sharding.loss_and_grads_scanned) for instanced scenes')
     W, H = settings.width, settings.height
     g = scene.geom
     verts = jnp.asarray(g.vertices)
@@ -219,6 +225,10 @@ def loss_and_grads_with_edges(params: dict, scene: Scene, cam: Camera,
     from ..parallel import sharding
     from ..render import renderer
 
+    if scene.edges is None:
+        raise ValueError(
+            'loss_and_grads_with_edges needs scene.edges (single-level '
+            'scenes only); use sharding.loss_and_grads_scanned instead')
     loss, grads = sharding.loss_and_grads_scanned(
         params, scene, cam, settings, target, key, spp=spp, tile=tile)
     s = sharding.apply_params(scene, params)

@@ -377,21 +377,27 @@ class SceneBuilder:
         has_disperse = bool(np.any(materials.disperse))
         has_transl = bool(np.any(materials.translucency > 0.01))
 
-        # flat clusters for the block-coherent tracer (single-level only;
-        # two-level scenes traverse instance-first — see ops/traverse.py)
+        # flat clusters for the block-coherent tracer (single-level), or the
+        # two-level instanced tables + MB split (geometry/clusters.py)
         clusters = None
         edges = None
+        iclusters = None
+        mb_clusters = None
+        from . import clusters as cl_mod
         if single_level:
-            from . import clusters as cl_mod
             clusters = cl_mod.build_clusters(geom)
             from ..diff.edges import build_edge_table
             edges = build_edge_table(geom.face_v)
+        elif inst_table is not None:
+            iclusters, mb_clusters = cl_mod.build_instanced_clusters(
+                geom, instances, inst_table)
 
         return T.Scene(
             geom=geom, materials=materials, textures=textures,
             point_lights=point_lights, rect_lights=rect_lights,
             dome=self._build_dome(), blas=blas, tlas=None,
             instances=inst_table, clusters=clusters, edges=edges,
+            iclusters=iclusters, mb_clusters=mb_clusters,
             env_exposure=np.float32(self._env_exposure),
             bg_color=self._bg, env_tex=self._env_tex,
             single_level=single_level, has_motion_blur=self._has_mb,

@@ -64,19 +64,24 @@ def _basis(verts: np.ndarray, faces: np.ndarray):
 
 
 def build_clusters(geom: T.Geometry, cluster_size: int = 128,
-                   pad_clusters_to: int = 8) -> Clusters:
-    """Cut the SAH tree into <=cluster_size-triangle clusters (single-level).
+                   pad_clusters_to: int = 8,
+                   tri_ids: np.ndarray | None = None) -> Clusters:
+    """Cut the SAH tree into <=cluster_size-triangle clusters.
 
-    Single-level scenes only: the (instanced) two-level analogue culls at the
-    instance level first and is a separate build.
+    tri_ids restricts the build to a triangle subset (used per-prototype by
+    build_instanced_clusters and for the motion-blur partition of two-level
+    scenes); the emitted tri table always holds GLOBAL triangle ids. Default
+    (None) covers the whole geometry — the single-level table.
     """
     from .bvh import _build_binary, triangle_aabbs
 
     C = cluster_size
-    n_tris = geom.face_v.shape[0]
-    tri_ids = np.arange(n_tris, dtype=np.int64)
+    if tri_ids is None:
+        tri_ids = np.arange(geom.face_v.shape[0], dtype=np.int64)
+    else:
+        tri_ids = np.asarray(tri_ids, np.int64)
     bmin, bmax = triangle_aabbs(geom, tri_ids)
-    tree, order = _build_binary(bmin, bmax, leaf_size=C)
+    tree, order = _build_binary(bmin, bmax, leaf_size=C)  # subset positions
 
     # collect binary leaves -> (start, count) ranges over `order`
     leaves = np.flatnonzero(tree.left[:tree.n] < 0)
@@ -90,12 +95,15 @@ def build_clusters(geom: T.Geometry, cluster_size: int = 128,
     faces = np.asarray(geom.face_v)
 
     tri = np.full((Mp, C), -1, np.int32)
+    # padding rows get a far-away POINT box (lo == hi == +3e37): an
+    # inverted (lo > hi) box would still PASS the slab test because the
+    # per-axis min/max swap un-inverts it into an infinite box
     cb_min = np.full((Mp, 3), np.float32(3e37))
-    cb_max = np.full((Mp, 3), np.float32(-3e37))
+    cb_max = np.full((Mp, 3), np.float32(3e37))
     p0 = np.zeros((Mp, 3, C), np.float32)
     e1 = np.zeros((Mp, 3, C), np.float32)
     e2 = np.zeros((Mp, 3, C), np.float32)
-    has_mb = bool(np.any(np.asarray(geom.face_mb)))
+    has_mb = bool(np.any(np.asarray(geom.face_mb)[tri_ids]))
     if has_mb:
         q0 = np.zeros((Mp, 3, C), np.float32)
         q1 = np.zeros((Mp, 3, C), np.float32)
@@ -106,11 +114,12 @@ def build_clusters(geom: T.Geometry, cluster_size: int = 128,
         c0_all, ce1_all, ce2_all = _basis(v1, faces)
 
     for m in range(len(leaves)):
-        ids = order[starts[m]:starts[m] + counts[m]]
+        pos = order[starts[m]:starts[m] + counts[m]]  # subset positions
+        ids = tri_ids[pos]                            # global triangle ids
         k = len(ids)
         tri[m, :k] = ids
-        cb_min[m] = bmin[ids].min(0)
-        cb_max[m] = bmax[ids].max(0)
+        cb_min[m] = bmin[pos].min(0)
+        cb_max[m] = bmax[pos].max(0)
         p0[m, :, :k] = b0_all[ids].T
         e1[m, :, :k] = be1_all[ids].T
         e2[m, :, :k] = be2_all[ids].T
@@ -124,6 +133,161 @@ def build_clusters(geom: T.Geometry, cluster_size: int = 128,
     return Clusters(bb_min=cb_min, bb_max=cb_max,
                     p0=p0, e1=e1, e2=e2, p0_t1=q0, e1_t1=q1, e2_t1=q2,
                     tri=tri, cluster_size=C)
+
+
+# far-away POINT box for padding lanes (see build_clusters: inverted boxes
+# are NOT safe against the slab test)
+NEVER_LO = np.float32(3e37)
+NEVER_HI = np.float32(3e37)
+
+
+@struct.dataclass
+class InstancedClusters:
+    """Two-level cluster tables: shared OBJECT-SPACE prototype clusters + a
+    flat instance table with world AABBs and world->object transforms, laid
+    out host-side in the exact shapes the Pallas kernel consumes
+    (ops/pallas/icluster_kernel.py).
+
+    The TPU analogue of the reference's ProxyObject two-level BVH
+    (src/ProxyObject.cpp:76-95 ray transform, src/BVH.cpp:1305-1338 proxy
+    lanes): the tracer dense-culls rays against the instance WORLD boxes,
+    transforms surviving ray blocks into object space (direction NOT
+    renormalized, so t is preserved across the transform — the same
+    invariant the reference relies on), and sweeps the prototype's cluster
+    slabs exactly like the single-level kernel. Prototype tables are stored
+    once and shared by every instance, so VMEM holds one copy per prototype
+    (the reference's 1M-instance memory story, webpage "Instancing").
+
+    Static geometry only (motion-blurred triangles are split into a separate
+    single-level table by build_instanced_clusters and traced by the existing
+    MB kernel; results merge by nearest t). Lane paddings hold never-hit
+    boxes / degenerate triangles / id -1.
+    """
+    ibb: Array           # (6, I) f32 — inst world box (xyz min, xyz max)
+    iminv: Array         # (I, 12) f32 — world->object affine rows
+    imeta: Array         # (I, 2) i32 — [prototype id, scene.instances row]
+    pbb: Array           # (P*6, MP) f32 — per-proto cluster boxes, rows
+                         # 6p..6p+5, lane = local cluster id
+    pmeta: Array         # (P, 2) i32 — [cluster row offset, cluster count]
+    p0: Array            # (Mtot*3, C) f32 — MT basis pool [row=3m+comp]
+    e1: Array            # (Mtot*3, C)
+    e2: Array            # (Mtot*3, C)
+    tri: Array           # (Mtot, C) i32 — GLOBAL triangle ids, -1 padding
+    cluster_size: int = struct.field(pytree_node=False, default=128)
+    num_instances: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_clusters(self) -> int:
+        return self.tri.shape[0]
+
+
+def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
+                             inst_table, cluster_size: int = 128):
+    """Two-level cluster build for instanced scenes.
+
+    instances: the SceneBuilder dicts (m (3,4); lo/hi prototype tri range or
+    tris= explicit world-tri ids); inst_table: the T.Instances built by
+    build_scene_bvh (provides m/m_inv in the SAME row order — rows here are
+    the inst ids the shader uses for normal fix-up).
+
+    Returns (InstancedClusters | None, mb_clusters: Clusters | None):
+      - motion-blurred WORLD triangles are split out into a single-level
+        Clusters table (mb_clusters) traced separately and merged by t;
+      - prototypes containing MB triangles are unsupported -> (None, None)
+        (callers keep the BVH path).
+    """
+    face_mb = np.asarray(geom.face_mb)
+
+    # prototype key -> (proto_idx, tri_ids); world static tris get their own
+    proto_keys: dict = {}
+    entries = []  # (key, inst_row) per kept instance
+    mb_world: np.ndarray | None = None
+    for row, inst in enumerate(instances):
+        if inst['tris'] is not None:
+            tri_ids = np.asarray(inst['tris'], np.int64)
+            is_mb = face_mb[tri_ids]
+            mb_world = tri_ids[is_mb]
+            tri_ids = tri_ids[~is_mb]
+            if len(tri_ids) == 0:
+                continue  # world geometry entirely MB
+            key = ('world',)
+        else:
+            lo, hi = inst['lo'], inst['hi']
+            tri_ids = np.arange(lo, hi, dtype=np.int64)
+            if face_mb[tri_ids].any():
+                return None, None  # MB prototypes: BVH path only
+            key = (lo, hi)
+        if key not in proto_keys:
+            proto_keys[key] = (len(proto_keys), tri_ids)
+        entries.append((key, row))
+
+    mb_clusters = None
+    if mb_world is not None and len(mb_world) > 0:
+        mb_clusters = build_clusters(geom, cluster_size, tri_ids=mb_world)
+
+    if not proto_keys:
+        return None, mb_clusters
+
+    # ---- per-prototype cluster tables (object space)
+    C = cluster_size
+    tabs = [None] * len(proto_keys)
+    for key, (pidx, tri_ids) in proto_keys.items():
+        tabs[pidx] = build_clusters(geom, C, pad_clusters_to=1,
+                                    tri_ids=tri_ids)
+    P = len(tabs)
+    proto_len = np.asarray([t.tri.shape[0] for t in tabs], np.int64)
+    proto_off = np.concatenate([[0], np.cumsum(proto_len)[:-1]])
+    Mtot = int(proto_len.sum())
+    MP = -(-int(proto_len.max()) // 128) * 128
+
+    cat = lambda k: np.concatenate(
+        [np.asarray(getattr(t, k), np.float32) for t in tabs])
+    p0 = cat('p0').reshape(Mtot * 3, C)
+    e1 = cat('e1').reshape(Mtot * 3, C)
+    e2 = cat('e2').reshape(Mtot * 3, C)
+    tri = np.concatenate([np.asarray(t.tri, np.int32) for t in tabs])
+
+    pbb = np.empty((P * 6, MP), np.float32)
+    pbb[:] = NEVER_LO
+    pbb[np.arange(P * 6) % 6 >= 3] = NEVER_HI
+    for p in range(P):
+        l_ = int(proto_len[p])
+        pbb[6 * p:6 * p + 3, :l_] = np.asarray(tabs[p].bb_min).T
+        pbb[6 * p + 3:6 * p + 6, :l_] = np.asarray(tabs[p].bb_max).T
+    pmeta = np.stack([proto_off, proto_len], 1).astype(np.int32)
+
+    # ---- instance table (lane-padded to 128 with never-hit boxes)
+    n_inst = len(entries)
+    I = -(-n_inst // 128) * 128
+    ibb = np.empty((6, I), np.float32)
+    ibb[:3] = NEVER_LO
+    ibb[3:] = NEVER_HI
+    iminv = np.tile(np.eye(3, 4, dtype=np.float32).reshape(1, 12), (I, 1))
+    imeta = np.zeros((I, 2), np.int32)
+    m_all = np.asarray(inst_table.m)
+    minv_all = np.asarray(inst_table.m_inv)
+    for k, (key, row) in enumerate(entries):
+        pidx = proto_keys[key][0]
+        t = tabs[pidx]
+        bmn = np.asarray(t.bb_min).min(0)
+        bmx = np.asarray(t.bb_max).max(0)
+        m = m_all[row]
+        # world AABB from the 8 object-box corners (reference
+        # ProxyObject::getAABB, src/ProxyObject.cpp:97-130)
+        cs = np.array([[x, y, z]
+                       for x in (bmn[0], bmx[0])
+                       for y in (bmn[1], bmx[1])
+                       for z in (bmn[2], bmx[2])], np.float32)
+        wc = cs @ m[:, :3].T + m[:, 3]
+        ibb[:3, k] = wc.min(0)
+        ibb[3:, k] = wc.max(0)
+        iminv[k] = minv_all[row].reshape(12)
+        imeta[k] = (pidx, row)
+
+    return InstancedClusters(
+        ibb=ibb, iminv=iminv.astype(np.float32), imeta=imeta,
+        pbb=pbb, pmeta=pmeta, p0=p0, e1=e1, e2=e2, tri=tri,
+        cluster_size=C, num_instances=n_inst), mb_clusters
 
 
 def refresh_clusters(clusters: Clusters, geom, mb: bool) -> Clusters:
@@ -173,7 +337,7 @@ def refresh_clusters(clusters: Clusters, geom, mb: bool) -> Clusters:
     # empty (all-padding) clusters keep a never-hit box
     any_valid = jnp.any(valid, axis=1)[:, None]
     bb_min = jnp.where(any_valid, bb_min, 3e37)
-    bb_max = jnp.where(any_valid, bb_max, -3e37)
+    bb_max = jnp.where(any_valid, bb_max, 3e37)  # point box: see build_clusters
 
     def soa(x):  # (M, C, 3) -> (M, 3, C)
         return x.transpose(0, 2, 1)

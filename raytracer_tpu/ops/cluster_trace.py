@@ -156,7 +156,7 @@ def cluster_trace(scene: Scene, o, d, time, tmin, tmax,
 
 
 def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
-                      any_hit: bool = False, max_passes: int = 8) -> Hit:
+                      any_hit: bool = False, max_passes: int = 12) -> Hit:
     """Alpha-cutout wrapper for tracers without in-kernel alpha tests.
 
     The reference re-tests cutout lanes inside intersect4
@@ -164,7 +164,10 @@ def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
     transparent (alpha < 0.5) hit with an advanced per-ray tmin until every
     ray has an opaque hit or a miss. trace_once(o, d, time, tmin, tmax,
     any_hit) -> Hit must accept a per-ray tmin array. Pass count is bounded
-    by max_passes (deep leaf stacks beyond that keep the last hit).
+    by max_passes: rays still live on exhaustion (more than max_passes
+    stacked transparent surfaces) keep their LAST transparent hit rather
+    than reporting a miss, so deep cutout stacks shade slightly wrong
+    instead of leaking the background through geometry.
     """
     R = o.shape[0]
     f32 = o.dtype
@@ -179,6 +182,7 @@ def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
         done=zero > 1.0,
         t=zero + MIRO_TMAX,
         tri=jnp.full((R,), -1, jnp.int32) + zero.astype(jnp.int32),
+        inst=jnp.zeros((R,), jnp.int32) + zero.astype(jnp.int32),
         a=zero, b=zero,
     )
 
@@ -194,17 +198,21 @@ def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
         accept = live & opaque
         cutout = live & valid & ~opaque
         miss = live & ~valid
-        t = jnp.where(accept, hit.t, s['t'])
-        tri = jnp.where(accept, hit.tri, s['tri'])
-        a = jnp.where(accept, hit.a, s['a'])
-        b = jnp.where(accept, hit.b, s['b'])
+        # record cutout hits too: if the pass budget runs out the last
+        # transparent hit stands in for the (never found) opaque one; a
+        # subsequent miss clears it again (the ray exits through the hole)
+        take = accept | cutout
+        t = jnp.where(miss, MIRO_TMAX, jnp.where(take, hit.t, s['t']))
+        tri = jnp.where(miss, -1, jnp.where(take, hit.tri, s['tri']))
+        inst = jnp.where(take, hit.inst, s['inst'])
+        a = jnp.where(take, hit.a, s['a'])
+        b = jnp.where(take, hit.b, s['b'])
         # advance past the transparent hit (relative + absolute epsilon)
         tmin_new = jnp.where(cutout, hit.t * (1.0 + 1e-4) + 1e-4, s['tmin'])
         return dict(passes=s['passes'] + 1, tmin=tmin_new,
                     done=s['done'] | accept | miss,
-                    t=t, tri=tri, a=a, b=b)
+                    t=t, tri=tri, inst=inst, a=a, b=b)
 
     s = jax.lax.while_loop(cond, body, init)
-    return Hit(t=s['t'], tri=s['tri'],
-               inst=jnp.zeros((R,), jnp.int32) + s['tri'] * 0,
+    return Hit(t=s['t'], tri=s['tri'], inst=s['inst'],
                a=s['a'], b=s['b'])

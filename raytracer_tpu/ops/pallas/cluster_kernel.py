@@ -181,21 +181,26 @@ def _kernel(bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref, tri_ref,
 
 
 @partial(jax.jit,
-         static_argnames=('any_hit', 'rb', 'interpret'))
+         static_argnames=('any_hit', 'rb', 'interpret', 'mb'))
 def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
                          any_hit: bool = False, rb: int = DEF_RB,
-                         interpret: bool | None = None) -> Hit:
+                         interpret: bool | None = None,
+                         table=None, mb: bool | None = None) -> Hit:
     """Trace a wavefront with the VMEM-resident cluster kernel -> Hit.
 
     Single-level, non-alpha scenes; callers gate on scene flags
     (render.integrator.trace_fn). Gradients do not flow (ids + pinned
     floats; intersect.refine_hit recomputes differentiably).
+
+    table overrides scene.clusters (e.g. the MB partition of a two-level
+    scene, scene.mb_clusters); mb overrides the scene motion-blur flag for
+    that table.
     """
     # Every input must be tangent-free: pallas_call has no JVP rule, so a
     # single differentiable operand (e.g. tmax=dist from a shadow ray whose
     # origin depends on vertices) makes scan linearization fail. Hit ids are
     # re-derived differentiably by intersect.refine_hit.
-    cl = jax.lax.stop_gradient(scene.clusters)
+    cl = jax.lax.stop_gradient(table if table is not None else scene.clusters)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     time = jax.lax.stop_gradient(time)
@@ -203,7 +208,8 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
     tmax = jax.lax.stop_gradient(tmax)
     R = o.shape[0]
     M, _, C = cl.p0.shape
-    mb = scene.has_motion_blur
+    if mb is None:
+        mb = scene.has_motion_blur
     f32 = jnp.float32
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'

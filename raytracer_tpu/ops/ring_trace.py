@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.types import Scene
 from ..core.vecmath import MIRO_TMAX
-from .intersect import Hit
+from .intersect import Hit, _alpha_of
 from .cluster_trace import _cull, _mt_cluster
 
 BIG = jnp.float32(3e38)
@@ -47,19 +47,22 @@ def shard_clusters(clusters, n_dev: int):
 
     return clusters.replace(
         bb_min=padm(clusters.bb_min, 3e37),
-        bb_max=padm(clusters.bb_max, -3e37),
+        bb_max=padm(clusters.bb_max, 3e37),  # point box (inverted boxes
+        # pass the slab test after the per-axis min/max swap)
         p0=padm(clusters.p0), e1=padm(clusters.e1), e2=padm(clusters.e2),
         p0_t1=padm(clusters.p0_t1), e1_t1=padm(clusters.e1_t1),
         e2_t1=padm(clusters.e2_t1),
         tri=padm(clusters.tri, -1))
 
 
-def _local_sweep(cl, o, d, time, tmin, best, mb: bool, any_hit: bool,
+def _local_sweep(scene, cl, o, d, time, tmin, best, mb: bool, any_hit: bool,
                  max_iters: int):
     """Nearest-hit sweep of rays vs the LOCAL cluster shard, updating best.
 
     best: (t, tri, a, b, found). Same near-ordered candidate walk as
-    cluster_trace, bounded by the local shard's cluster count.
+    cluster_trace, including its alpha-cutout filter (cluster_trace.py:
+    in-sweep alpha test) — the scene's texture pack is replicated per device,
+    only the cluster table is sharded.
     """
     R = o.shape[0]
     M = cl.tri.shape[0]
@@ -89,6 +92,9 @@ def _local_sweep(cl, o, d, time, tmin, best, mb: bool, any_hit: bool,
         t, a, b, ok, tid = _mt_cluster(cl, m, o, d, time, mb)
         ok = ok & active[:, None] & (t >= tmin[:, None]) \
             & (t < best_t[:, None])
+        if scene.has_alpha_maps:
+            alpha = _alpha_of(scene, jnp.maximum(tid, 0), a, b)
+            ok = ok & (alpha >= 0.5)
         t = jnp.where(ok, t, BIG)
         j = jnp.argmin(t, axis=-1)
         rows = jnp.arange(R)
@@ -116,6 +122,7 @@ def ring_trace(scene: Scene, o, d, time, tmin, tmax,
     result lands on the caller's device in the original ray order.
     """
     cl = jax.lax.stop_gradient(scene.clusters)
+    scene = jax.lax.stop_gradient(scene)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     time = jax.lax.stop_gradient(time)
@@ -142,8 +149,8 @@ def ring_trace(scene: Scene, o, d, time, tmin, tmax,
 
     def round_fn(r, state):
         o_r, d_r, time_r, tmin_r, best_r = state
-        best_r = _local_sweep(cl, o_r, d_r, time_r, tmin_r, best_r, mb,
-                              any_hit, 0)
+        best_r = _local_sweep(scene, cl, o_r, d_r, time_r, tmin_r, best_r,
+                              mb, any_hit, 0)
         # rotate the ray state to the next device (geometry stays resident)
         moved = jax.lax.ppermute((o_r, d_r, time_r, tmin_r, best_r),
                                  axis, perm)

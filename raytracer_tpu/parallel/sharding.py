@@ -142,16 +142,19 @@ def get_params(scene: Scene) -> dict:
     )
 
 
-def apply_params(scene: Scene, params: dict) -> Scene:
+def apply_params(scene: Scene, params: dict, refresh: bool = True) -> Scene:
     shift = params['vertices'] - scene.geom.vertices
     geom = scene.geom.replace(vertices=params['vertices'],
                               vertices_t1=scene.geom.vertices_t1 + shift)
     # the cluster tables bake vertex positions host-side; refresh them
     # device-side or the tracer intersects the ORIGINAL geometry and the
     # render is frozen w.r.t. vertex params (refine_hit pins forward values
-    # to the traversal's hit)
+    # to the traversal's hit). The refresh affects the FORWARD hit search
+    # only — every tracer stop-gradients its tables and refine_hit
+    # recomputes (t,a,b) from geom.vertices — so per-step callers hoist it
+    # out of the tile loop (refresh=False after one refreshed base scene).
     clusters = scene.clusters
-    if clusters is not None:
+    if refresh and clusters is not None:
         from ..geometry.clusters import refresh_clusters
         clusters = refresh_clusters(clusters, geom, scene.has_motion_blur)
     return scene.replace(
@@ -184,31 +187,49 @@ def loss_and_grads(params: dict, scene: Scene, cam: Camera,
 
 @partial(jax.jit, static_argnames=('settings', 'spp'))
 def _tile_loss_grad(params, scene, cam, settings: RenderSettings,
-                    target, px, py, key, spp: int):
-    """Sum-of-squares loss + grads for ONE ray tile (jitted once, reused)."""
+                    target, px, py, msk, key, spp: int):
+    """Sum-of-squares loss + grads for ONE ray tile (jitted once, reused).
+
+    msk zeroes the padding lanes of the last tile (they alias pixel (0,0)
+    against a zero target and would otherwise pollute loss AND grads).
+    """
     def loss_fn(p):
         s = apply_params(scene, p)
         L = _render_local(s, cam, settings, spp, px, py, key)
-        return jnp.sum((L - target) ** 2)
+        return jnp.sum(msk[:, None] * (L - target) ** 2)
 
     return jax.value_and_grad(loss_fn)(params)
 
 
-@partial(jax.jit, static_argnames=('settings', 'spp', 'tile'))
+@partial(jax.jit, static_argnames=('settings', 'spp', 'tile', 'mesh'))
 def loss_and_grads_scanned(params: dict, scene: Scene, cam: Camera,
                            settings: RenderSettings, target: jax.Array,
                            key: jax.Array, spp: int = 1,
-                           tile: int | None = None):
-    """MSE loss + grads, tiles accumulated by lax.scan INSIDE one program.
+                           tile: int | None = None,
+                           mesh: Mesh | None = None):
+    """MSE loss + grads, tiles accumulated by lax.scan INSIDE one program —
+    the production fwd+bwd step (bench.py), optionally sharded over a mesh.
 
     Same estimator as loss_and_grads_streamed (identical per-tile RNG:
-    fold_in(key, tile_index)), but the tile loop runs on-device, so a full
-    frame is ONE dispatch instead of n_tiles round trips — on the TPU tunnel
-    the host loop's per-dispatch latency dominates wall time (measured 3x at
-    1080p). Differentiation happens per tile inside the scan body
-    (value_and_grad of the tile loss), so the pathological
+    fold_in(key, global_tile_index)), but the tile loop runs on-device, so a
+    full frame is ONE dispatch instead of n_tiles round trips — on the TPU
+    tunnel the host loop's per-dispatch latency dominates wall time
+    (measured 3x at 1080p). Differentiation happens per tile inside the
+    scan body (value_and_grad of the tile loss), so the pathological
     transpose-of-scan-of-traversal program that motivated streaming never
     forms; memory stays bounded by one tile's wavefront + one grad pytree.
+
+    The cluster-table refresh (apply_params) is hoisted OUT of the tile
+    loop: it shapes only the forward hit search (tracers stop-gradient the
+    tables; refine_hit recomputes from the vertices), so one refresh per
+    step replaces n_tiles redundant rebuilds.
+
+    mesh: shard the TILE axis over the device mesh — each device scans its
+    own tiles, loss and parameter grads are psum-reduced (the gradient
+    all-reduce rides the shard_map transpose, overlapped with the backward
+    wavefront where XLA schedules it). Identical estimator to the
+    single-device scan (same per-tile keys; summation order differs only by
+    the reduction tree).
     """
     W, H = settings.width, settings.height
     R = W * H
@@ -218,33 +239,83 @@ def loss_and_grads_scanned(params: dict, scene: Scene, cam: Camera,
     px = xs.reshape(-1)
     py = ys.reshape(-1)
     tgt = target.astype(jnp.float32).reshape(-1, 3)
-    pad = (-R) % tile
+    msk = jnp.ones(R, jnp.float32)  # zero on padding lanes (they re-render
+    pad = (-R) % tile               # pixel (0,0) vs a black target)
     if pad:
         px = jnp.concatenate([px, jnp.zeros(pad, jnp.float32)])
         py = jnp.concatenate([py, jnp.zeros(pad, jnp.float32)])
         tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), jnp.float32)])
+        msk = jnp.concatenate([msk, jnp.zeros(pad, jnp.float32)])
     n_tiles = px.shape[0] // tile
+    n_dev = mesh.devices.size if mesh is not None else 1
+    tpad = (-n_tiles) % n_dev
+    if tpad:  # whole padding tiles (mask 0) to divide tiles over devices
+        zt = jnp.zeros(tpad * tile, jnp.float32)
+        px = jnp.concatenate([px, zt])
+        py = jnp.concatenate([py, zt])
+        tgt = jnp.concatenate([tgt, jnp.zeros((tpad * tile, 3), jnp.float32)])
+        msk = jnp.concatenate([msk, zt])
+        n_tiles += tpad
     px = px.reshape(n_tiles, tile)
     py = py.reshape(n_tiles, tile)
     tgt = tgt.reshape(n_tiles, tile, 3)
+    msk = msk.reshape(n_tiles, tile)
+    tidx = jnp.arange(n_tiles, dtype=jnp.int32)
 
-    def tile_loss(p, pxt, pyt, tgt_t, k):
-        s = apply_params(scene, p)
-        L = _render_local(s, cam, settings, spp, pxt, pyt, k)
-        return jnp.sum((L - tgt_t) ** 2)
+    # hoisted per-step refresh (forward-only, see docstring)
+    scene_base = apply_params(scene, jax.lax.stop_gradient(params))
 
-    def body(carry, inp):
-        total, grads = carry
-        ti, pxt, pyt, tgt_t = inp
-        k = jax.random.fold_in(key, ti)
-        l, g = jax.value_and_grad(tile_loss)(params, pxt, pyt, tgt_t, k)
-        return (total + l,
-                jax.tree_util.tree_map(jnp.add, grads, g)), None
+    def local_scan(p, s_base, cam_, tidx, px, py, tgt, msk, key):
+        def tile_loss(p, pxt, pyt, tgt_t, msk_t, k):
+            s = apply_params(s_base, p, refresh=False)
+            L = _render_local(s, cam_, settings, spp, pxt, pyt, k)
+            return jnp.sum(msk_t[:, None] * (L - tgt_t) ** 2)
 
-    init = (jnp.float32(0.0),
-            jax.tree_util.tree_map(jnp.zeros_like, params))
-    (total_loss, grads), _ = jax.lax.scan(
-        body, init, (jnp.arange(n_tiles, dtype=jnp.int32), px, py, tgt))
+        def body(carry, inp):
+            total, grads = carry
+            ti, pxt, pyt, tgt_t, msk_t = inp
+            k = jax.random.fold_in(key, ti)
+            l, g = jax.value_and_grad(tile_loss)(p, pxt, pyt, tgt_t,
+                                                 msk_t, k)
+            return (total + l,
+                    jax.tree_util.tree_map(jnp.add, grads, g)), None
+
+        # derive the init from the sharded tile arrays so the carry's
+        # varying type matches the loop outputs under shard_map (vma)
+        zero = px[0, 0] * 0.0
+        init = (jnp.float32(0.0) + zero,
+                jax.tree_util.tree_map(
+                    lambda x: jnp.zeros_like(x) + zero.astype(x.dtype), p))
+        (total, grads), _ = jax.lax.scan(body, init,
+                                         (tidx, px, py, tgt, msk))
+        return total, grads
+
+    if mesh is None:
+        total_loss, grads = local_scan(params, scene_base, cam, tidx, px,
+                                       py, tgt, msk, key)
+    else:
+        def fn(p, s_base, cam_, tidx, px, py, tgt, msk, key):
+            # make the replicated params VARYING before differentiating:
+            # jax's vma-aware AD would otherwise auto-psum the cotangent of
+            # an unvarying input (the per-device grad would already be the
+            # global sum) and the explicit psum below would double it
+            try:
+                pcast = jax.lax.pcast
+                p = jax.tree_util.tree_map(
+                    lambda x: pcast(x, (AXIS,), to='varying'), p)
+            except AttributeError:  # older jax
+                p = jax.tree_util.tree_map(
+                    lambda x: jax.lax.pvary(x, (AXIS,)), p)
+            total, grads = local_scan(p, s_base, cam_, tidx, px, py, tgt,
+                                      msk, key)
+            return jax.lax.psum(total, AXIS), jax.lax.psum(grads, AXIS)
+
+        total_loss, grads = shard_map(
+            fn, mesh,
+            in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS), P()),
+            out_specs=(P(), P()))(params, scene_base, cam, tidx, px, py,
+                                  tgt, msk, key)
     scale = 1.0 / (R * 3)
     grads = jax.tree_util.tree_map(lambda x: x * scale, grads)
     return total_loss * scale, grads
@@ -271,11 +342,13 @@ def loss_and_grads_streamed(params: dict, scene: Scene, cam: Camera,
     px = xs.reshape(-1)
     py = ys.reshape(-1)
     tgt = np.asarray(target, np.float32).reshape(-1, 3)
+    msk = np.ones(R, np.float32)
     pad = (-R) % tile
     if pad:
         px = np.concatenate([px, np.zeros(pad, np.float32)])
         py = np.concatenate([py, np.zeros(pad, np.float32)])
         tgt = np.concatenate([tgt, np.zeros((pad, 3), np.float32)])
+        msk = np.concatenate([msk, np.zeros(pad, np.float32)])
     n_tiles = px.shape[0] // tile
 
     total_loss = 0.0
@@ -285,7 +358,8 @@ def loss_and_grads_streamed(params: dict, scene: Scene, cam: Camera,
         k = jax.random.fold_in(key, ti)
         l, g = _tile_loss_grad(params, scene, cam, settings,
                                jnp.asarray(tgt[sl]), jnp.asarray(px[sl]),
-                               jnp.asarray(py[sl]), k, spp)
+                               jnp.asarray(py[sl]), jnp.asarray(msk[sl]),
+                               k, spp)
         total_loss = total_loss + l
         grads = jax.tree_util.tree_map(jnp.add, grads, g)
     scale = 1.0 / (R * 3)
@@ -294,11 +368,15 @@ def loss_and_grads_streamed(params: dict, scene: Scene, cam: Camera,
 
 
 def train_step(params, opt_state, optimizer, scene, cam, settings, target,
-               key, mesh, spp: int = 1):
+               key, mesh=None, spp: int = 1, tile: int | None = None):
     """One optimizer step of differentiable texture/light/geometry fitting
-    (BASELINE config #5: "differentiable texture/light optimization")."""
-    loss, grads = loss_and_grads(params, scene, cam, settings, target, key,
-                                 mesh, spp)
+    (BASELINE config #5: "differentiable texture/light optimization").
+
+    Uses the production scanned fwd+bwd (tiles sharded over `mesh` when
+    given) — the same program bench.py measures."""
+    loss, grads = loss_and_grads_scanned(params, scene, cam, settings,
+                                         target, key, spp=spp, tile=tile,
+                                         mesh=mesh)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     import optax
     params = optax.apply_updates(params, updates)

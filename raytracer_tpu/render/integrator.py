@@ -155,6 +155,55 @@ def _pallas_cluster_ok(scene: Scene) -> bool:
     return vmem < 8 * 1024 * 1024
 
 
+def _pallas_icluster_ok(scene: Scene) -> bool:
+    """Two-level kernel eligibility: instanced tables + the per-block
+    (RB, I)/(RB, MP) cull matrices fit VMEM; the MB partition (if any) must
+    fit its own single-level kernel too."""
+    icl = scene.iclusters
+    if icl is None or scene.single_level:
+        return False
+    from ..ops.pallas.icluster_kernel import DEF_RB
+    Mtot, C = icl.tri.shape
+    I = icl.ibb.shape[1]
+    MP = icl.pbb.shape[1]
+    tables = (10 * Mtot * C + icl.pbb.size + I * 20) * 4
+    work = 2 * DEF_RB * (I + MP) * 4
+    # the MB partition is row-chunked to fit VMEM (_mb_chunks), so only the
+    # instanced tables bound eligibility
+    return tables + work <= 12 * 1024 * 1024
+
+
+def _mb_chunks(mb):
+    """Split a (motion-blur) cluster table into row chunks that each fit
+    the single-level kernel's VMEM budget; hits merge by nearest t."""
+    M, _, C = mb.p0.shape
+    nbytes = M * 3 * C * 4 * 6 + M * C * 4 + M * 6 * 4
+    n = -(-nbytes // (8 * 1024 * 1024))
+    if n <= 1:
+        return [mb]
+    step = -(-M // n)
+    out = []
+    for lo in range(0, M, step):
+        hi = min(lo + step, M)
+        sl = lambda x: x[lo:hi]
+        out.append(mb.replace(
+            bb_min=sl(mb.bb_min), bb_max=sl(mb.bb_max),
+            p0=sl(mb.p0), e1=sl(mb.e1), e2=sl(mb.e2),
+            p0_t1=sl(mb.p0_t1), e1_t1=sl(mb.e1_t1), e2_t1=sl(mb.e2_t1),
+            tri=sl(mb.tri)))
+    return out
+
+
+def _merge_hits(h1, h2):
+    """Nearest-of-two hits (the static instanced pass + the MB pass)."""
+    take2 = h2.valid & (~h1.valid | (h2.t < h1.t))
+    pick = lambda x2, x1: jnp.where(take2, x2, x1)
+    from ..ops.intersect import Hit
+    return Hit(t=pick(h2.t, h1.t), tri=pick(h2.tri, h1.tri),
+               inst=pick(h2.inst, h1.inst), a=pick(h2.a, h1.a),
+               b=pick(h2.b, h1.b))
+
+
 def trace_fn(scene: Scene, settings: RenderSettings):
     """Select the intersector backend -> tracer(o,d,time,tmin,tmax,any_hit)."""
     mode = settings.intersector
@@ -164,6 +213,8 @@ def trace_fn(scene: Scene, settings: RenderSettings):
             # pallas cluster kernel 4.2 ms coherent / 84 ms incoherent vs
             # XLA cluster 188 ms vs vmap'd BVH while_loop ~1.8 s per trace
             mode = 'cluster_pallas'
+        elif jax.default_backend() == 'tpu' and _pallas_icluster_ok(scene):
+            mode = 'cluster2'
         else:
             mode = 'bvh' if scene.blas is not None else 'brute'
     if mode == 'brute':
@@ -202,6 +253,31 @@ def trace_fn(scene: Scene, settings: RenderSettings):
             return ck.pallas_cluster_trace(scene, o, d, time, tmin, tmax,
                                            any_hit)
         return tracer
+    if mode == 'cluster2':
+        # two-level instanced kernel (+ separate MB pass, merged by t),
+        # alpha-cutout handled by the re-trace wrapper
+        from ..ops.pallas import icluster_kernel as ick
+        from ..ops.pallas import cluster_kernel as ck
+
+        def base(o, d, time, tmin, tmax, any_hit):
+            h = ick.pallas_icluster_trace(scene, o, d, time, tmin, tmax,
+                                          any_hit)
+            if scene.mb_clusters is not None:
+                for tab in _mb_chunks(scene.mb_clusters):
+                    h2 = ck.pallas_cluster_trace(scene, o, d, time, tmin,
+                                                 tmax, any_hit,
+                                                 table=tab, mb=True)
+                    h = _merge_hits(h, h2)
+            return h
+
+        if scene.has_alpha_maps:
+            from ..ops import cluster_trace as ct
+
+            def tracer(o, d, time, tmin, tmax, any_hit):
+                return ct.alpha_aware_trace(scene, base, o, d, time, tmin,
+                                            tmax, any_hit)
+            return tracer
+        return base
     if mode == 'ring':
         # geometry-sharded: scene.clusters holds THIS device's shard; must
         # run inside shard_map (parallel/sharding.render_geometry_sharded)
@@ -368,17 +444,16 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         # (isSecondary, src/DomeLight.cpp:89). Batched wavefronts mix ray
         # kinds, so we always use the configured counts — identical
         # expectation, equal-or-lower variance.
-        lpw, specw, lp_back = lt.sample_all_lights(
-            scene, tracer, P, the_n, rvec, time, k_l1, False, settings,
-            want_back=scene.has_translucency)
+        lpw, specw3, lp_back = lt.sample_all_lights(
+            scene, tracer, P, the_n, rvec, spec_exp, time, k_l1, False,
+            settings, want_back=scene.has_translucency)
 
         w_d = (tp * rr_recip[:, None]) * diffuse_branch[:, None]
-        # clamp the pow base away from 0: pow(0, e) has a NaN d/de (0*log 0);
-        # 1e-12^e underflows to the same 0 with a finite gradient
-        spec_term = ks * spec_amt[:, None] * \
-            jnp.power(jnp.maximum(specw, 1e-12), spec_exp)[:, None]
+        # specw3 is already sum_i E_i*pow(spec_i, exp) (per-light pow,
+        # src/Blinn.cpp:217); scale by ks*specAmt only
+        spec_term = ks * spec_amt[:, None] * specw3
         spec_term = jnp.where(is_lambert[:, None], 0.0, spec_term)
-        L = L + w_d * lpw * (diffuse + spec_term)
+        L = L + w_d * (lpw * diffuse + spec_term)
 
         # translucency (src/Blinn.cpp:223-236): back-hemisphere irradiance
         # from the SAME light samples/shadow rays as the NEE pass above

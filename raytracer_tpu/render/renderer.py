@@ -113,7 +113,11 @@ def render_adaptive(scene: Scene, cam: Camera, settings: RenderSettings,
     px = _pad(px, tile)
     py = _pad(py, tile)
     n_tiles = px.shape[0] // tile
-    CH = min(ADAPTIVE_CHUNK, tile)
+    # largest divisor of tile <= ADAPTIVE_CHUNK: the lvl1 fori and the
+    # compacted chunk loops cover the tile in exact CH-sized pieces (a
+    # non-divisor CH would leave tail pixels unsampled at level 1)
+    CH = max(c for c in range(1, min(ADAPTIVE_CHUNK, tile) + 1)
+             if tile % c == 0)
 
     def tile_fn(ti):
         start = ti * tile

@@ -567,13 +567,17 @@ def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
             x, z = rng.random(), rng.random()
             if x * x + z * z <= 1.0:
                 break
-        m = tf.translate(cam_eye[0] + x * 10.0,
-                         rng.random() * 0.05 - 0.025,
-                         cam_eye[2] - z * 10.0) \
-            @ tf.scale(rng.random() * 0.2 + 0.9, rng.random() * 0.2 + 0.95,
-                       rng.random() * 0.2 + 0.9) \
-            @ tf.rotate_x(rng.random() * 20.0 + 10.0) \
-            @ tf.rotate_y(rng.random() * 360.0)
+        # reference makeFlowers (src/main.cpp:87-90): m.rotate(y,..) then
+        # m *= rotateX -> composition rotY @ rotX (the tilt axis spins with
+        # the yaw); RNG draw order unchanged (translate, scale, tilt, yaw)
+        trans = tf.translate(cam_eye[0] + x * 10.0,
+                             rng.random() * 0.05 - 0.025,
+                             cam_eye[2] - z * 10.0)
+        sc = tf.scale(rng.random() * 0.2 + 0.9, rng.random() * 0.2 + 0.95,
+                      rng.random() * 0.2 + 0.9)
+        tilt = tf.rotate_x(rng.random() * 20.0 + 10.0)
+        yaw = tf.rotate_y(rng.random() * 360.0)
+        m = trans @ sc @ yaw @ tilt
         I.inst(flower02 if i % 2 else flower01, m)
 
     # ---- grass proxy grid (makeProxyGrid, src/main.cpp:38-52)

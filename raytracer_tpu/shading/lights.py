@@ -77,18 +77,30 @@ def _shadow_attenuation(scene: Scene, tracer, P, L, dist, time,
     return atten
 
 
-def sample_point_lights(scene: Scene, tracer, P, N, rvec, time,
+def _spec_pow(spec, spec_exp):
+    """pow(outSpec_i, specExp) for ONE light's averaged spec dot.
+
+    The pow base is clamped away from 0: pow(0, e) has a NaN d/de (0*log 0);
+    1e-12^e underflows to the same 0 with a finite gradient.
+    """
+    return jnp.power(jnp.maximum(spec, 1e-12), spec_exp)
+
+
+def sample_point_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time,
                         segments: int = 4, want_back: bool = False):
-    """Sum over all point lights -> (irradiance (R,3), spec (R,), back (R,3)).
+    """Sum over all point lights -> (irradiance (R,3), spec (R,3), back (R,3)).
 
     Mirrors src/PointLight.cpp:8-82: inverse-square falloff, N.L gating and
-    cosine folded into the attenuation, scalar wattage / 4pi. `back` is the
-    same estimate for the flipped normal (translucency), reusing the shadow
-    trace.
+    cosine folded into the attenuation, scalar wattage / 4pi. `spec` is the
+    PER-LIGHT exponentiated Blinn term sum_i E_i * pow(outSpec_i, specExp)
+    (the reference applies pow inside the light loop, src/Blinn.cpp:217-218;
+    summing raw dots and exponentiating once is wrong for >1 light).
+    `back` is the same irradiance estimate for the flipped normal
+    (translucency), reusing the shadow trace.
     """
     R = P.shape[0]
     power_sum = jnp.zeros((R, 3), P.dtype)
-    spec_sum = jnp.zeros(R, P.dtype)
+    spec_sum = jnp.zeros((R, 3), P.dtype)
     back_sum = jnp.zeros((R, 3), P.dtype)
     pl = scene.point_lights
     num = pl.position.shape[0]
@@ -103,8 +115,10 @@ def sample_point_lights(scene: Scene, tracer, P, N, rvec, time,
             pl.cast_shadows[i], pl.fast_shadows[i], segments)
         atten = jnp.where(ndl > 0.0, atten0 * ndl, 0.0)
         E_base = (pl.power[i] * pl.color[i])[None, :] * (INV_4PI / d2)[:, None]
-        power_sum = power_sum + E_base * atten[:, None]
-        spec_sum = spec_sum + jnp.maximum(0.0, vm.dot(rvec, Lhat)) * atten
+        E = E_base * atten[:, None]
+        power_sum = power_sum + E
+        spec_i = jnp.maximum(0.0, vm.dot(rvec, Lhat)) * atten
+        spec_sum = spec_sum + E * _spec_pow(spec_i, spec_exp)[:, None]
         if want_back:
             atten_b = jnp.where(-ndl > 0.0, atten0 * -ndl, 0.0)
             back_sum = back_sum + E_base * atten_b[:, None]
@@ -123,13 +137,18 @@ def _rect_area_power(v1, v2, v3, power):
     return power * recip
 
 
-def sample_rect_lights(scene: Scene, tracer, P, N, rvec, time, key,
+def sample_rect_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
                        num_samples: int, segments: int = 4,
                        want_back: bool = False):
-    """Sum over all rectangle lights -> (irradiance, spec, back)."""
+    """Sum over all rectangle lights -> (irradiance, spec, back).
+
+    spec = sum_i E_i_mean * pow(spec_i_mean, specExp): the reference averages
+    the spec dot over the light's samples and applies pow once per light
+    (src/RectangleLight.cpp:135-136, src/Blinn.cpp:217).
+    """
     R = P.shape[0]
     power_sum = jnp.zeros((R, 3), P.dtype)
-    spec_sum = jnp.zeros(R, P.dtype)
+    spec_sum = jnp.zeros((R, 3), P.dtype)
     back_sum = jnp.zeros((R, 3), P.dtype)
     rl = scene.rect_lights
     num = rl.v1.shape[0]
@@ -164,8 +183,10 @@ def sample_rect_lights(scene: Scene, tracer, P, N, rvec, time, key,
             if want_back:
                 atten_b = jnp.where(-ndl_raw > EPSILON, atten0, 0.0)
                 acc_b = acc_b + E * atten_b[:, None]
-        power_sum = power_sum + acc / num_samples
-        spec_sum = spec_sum + acc_s / num_samples
+        E_mean = acc / num_samples
+        power_sum = power_sum + E_mean
+        spec_sum = spec_sum \
+            + E_mean * _spec_pow(acc_s / num_samples, spec_exp)[:, None]
         back_sum = back_sum + acc_b / num_samples
     return power_sum, spec_sum, back_sum
 
@@ -185,20 +206,21 @@ def _sample_cdf(cdf, u):
     return offset.astype(jnp.float32) + du, offset, du
 
 
-def sample_dome_light(scene: Scene, tracer, P, N, rvec, time, key,
+def sample_dome_light(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
                       num_samples: int, segments: int = 4,
                       want_back: bool = False):
     """HDR dome importance sampling -> (irradiance, spec, back).
 
     Mirrors src/DomeLight.cpp:80-161: sample u from the marginal CDF, v from
     the column CDF, direction from the table angles (floor indices),
-    pdf = (pu*pv) / (2*pi^2*sin(theta)).
+    pdf = (pu*pv) / (2*pi^2*sin(theta)). spec is the dome's
+    E_mean * pow(spec_mean, specExp) (per-light pow, src/Blinn.cpp:217).
     """
     dome = scene.dome
     R = P.shape[0]
     if dome is None:
         z = jnp.zeros((R, 3), P.dtype)
-        return z, jnp.zeros(R, P.dtype), z
+        return z, z, z
     nu = dome.u_func.shape[0]
     nv = dome.v_func.shape[1]
     key, sub = jax.random.split(key)
@@ -232,42 +254,47 @@ def sample_dome_light(scene: Scene, tracer, P, N, rvec, time, key,
         if want_back:
             atten_b = jnp.where(-ndl >= 0.0, atten0, 0.0)
             acc_b = acc_b + E * atten_b[:, None]
-    return acc / num_samples, acc_s / num_samples, acc_b / num_samples
+    E_mean = acc / num_samples
+    spec3 = E_mean * _spec_pow(acc_s / num_samples, spec_exp)[:, None]
+    return E_mean, spec3, acc_b / num_samples
 
 
-def sample_all_lights(scene: Scene, tracer, P, N, rvec, time, key,
+def sample_all_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
                       secondary: bool, settings, want_back: bool = False):
     """The reference per-hit light loop (src/Blinn.cpp:213-221).
 
     secondary=True forces 1 sample per area light (src/DomeLight.cpp:89).
-    Returns (lightPower (R,3), lightSpec (R,), backPower (R,3)); backPower
-    is the flipped-normal (translucency) estimate sharing the same shadow
-    rays, zeros unless want_back.
+    Returns (lightPower (R,3), lightSpec (R,3), backPower (R,3)). lightSpec
+    is sum_i E_i * pow(outSpec_i, specExp) — the per-light-exponentiated
+    Blinn highlight term (src/Blinn.cpp:217: pow is applied PER LIGHT inside
+    the loop; callers multiply by ks*specAmt only). backPower is the
+    flipped-normal (translucency) estimate sharing the same shadow rays,
+    zeros unless want_back.
     """
     R = P.shape[0]
     total = jnp.zeros((R, 3), P.dtype)
-    spec = jnp.zeros(R, P.dtype)
+    spec = jnp.zeros((R, 3), P.dtype)
     back = jnp.zeros((R, 3), P.dtype)
     segs = settings.shadow_segments
     if scene.point_lights.position.shape[0] > 0:
-        p, s, b = sample_point_lights(scene, tracer, P, N, rvec, time, segs,
-                                      want_back)
+        p, s, b = sample_point_lights(scene, tracer, P, N, rvec, spec_exp,
+                                      time, segs, want_back)
         total += p
         spec += s
         back += b
     if scene.rect_lights.v1.shape[0] > 0:
         ns = 1 if secondary else scene.rect_lights.num_samples
         key, sub = jax.random.split(key)
-        p, s, b = sample_rect_lights(scene, tracer, P, N, rvec, time, sub,
-                                     ns, segs, want_back)
+        p, s, b = sample_rect_lights(scene, tracer, P, N, rvec, spec_exp,
+                                     time, sub, ns, segs, want_back)
         total += p
         spec += s
         back += b
     if scene.dome is not None:
         ns = 1 if secondary else scene.dome.num_samples
         key, sub = jax.random.split(key)
-        p, s, b = sample_dome_light(scene, tracer, P, N, rvec, time, sub,
-                                    ns, segs, want_back)
+        p, s, b = sample_dome_light(scene, tracer, P, N, rvec, spec_exp,
+                                    time, sub, ns, segs, want_back)
         total += p
         spec += s
         back += b

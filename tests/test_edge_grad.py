@@ -6,6 +6,7 @@ differences on a translating bright triangle over a dark background — a
 loss whose derivative is almost entirely the boundary term.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -15,6 +16,8 @@ from raytracer_tpu.io.objload import make_single_triangle
 from raytracer_tpu.parallel import sharding
 from raytracer_tpu.render import renderer
 from raytracer_tpu.diff import edges as ed
+
+pytestmark = pytest.mark.slow  # multi-replica renders / FD sweeps
 
 SIZE = 32
 

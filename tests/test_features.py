@@ -26,6 +26,7 @@ def test_cornell_path_traced():
     assert (img.sum((0, 1)) > 0).all()
 
 
+@pytest.mark.slow
 def test_cornell_whitted_vs_pt_differ():
     s, cam, st = registry.make('cornell_pt', size=8, num_rect_samples=1,
                                max_bounces=3)
@@ -44,6 +45,7 @@ def test_dome_light():
     assert img.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_instancing_matches_flattened():
     """TLAS/BLAS instancing renders ~ the same image as baking instances."""
     import os
@@ -130,6 +132,7 @@ def test_stone_texture_bake():
     assert img.std() > 0.05
 
 
+@pytest.mark.slow
 def test_glass_sphere_scene():
     img, scene = _render('cornell_spheres', size=12, spp=2)
     assert bool(scene.materials.reflect_amt.max() == 1.0)

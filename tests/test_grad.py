@@ -2,6 +2,7 @@
 max-abs-err vs finite differences"). Targets: light power, material albedo,
 vertex positions, texture texels."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -58,6 +59,7 @@ def test_grad_albedo():
     np.testing.assert_allclose(g, fd, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_grad_vertices():
     """Shift all vertices along +y; interior shading changes smoothly."""
     scene, cam, settings = registry.make('triangle_sphere', size=SIZE,
@@ -91,6 +93,7 @@ def test_grad_through_spp_render():
     assert np.isfinite(g) and g > 0
 
 
+@pytest.mark.slow
 def test_grad_rect_power():
     """Rect-light wattage gradient vs finite differences (BASELINE target;
     area normalization src/RectangleLight.cpp:14-40)."""
@@ -110,6 +113,46 @@ def test_grad_rect_power():
     np.testing.assert_allclose(g, fd, rtol=2e-2)
 
 
+@pytest.mark.slow
+def test_scanned_loss_ignores_padding_lanes():
+    """A tile that does not divide W*H pads the ray set; padding lanes
+    re-render pixel (0,0) against a zero target and must NOT contribute to
+    loss or grads. Reference value computed tile-by-tile with the same
+    per-tile RNG, summing squared error over REAL lanes only."""
+    from raytracer_tpu.parallel import sharding
+
+    scene, cam, settings = registry.make('triangle_sphere', size=SIZE,
+                                         bvh=False)
+    params = sharding.get_params(scene)
+    key = jax.random.PRNGKey(3)
+    H = W = SIZE
+    R = W * H
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    tile = 48                      # 64 rays -> 2 tiles, 32 padding lanes
+    loss, grads = sharding.loss_and_grads_scanned(
+        params, scene, cam, settings, target, key, spp=1, tile=tile)
+
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing='ij')
+    px = np.concatenate([xs.reshape(-1), np.zeros(32, np.float32)])
+    py = np.concatenate([ys.reshape(-1), np.zeros(32, np.float32)])
+    s = sharding.apply_params(scene, params)
+    render_tile = jax.jit(lambda s_, pxt, pyt, k: sharding._render_local(
+        s_, cam, settings, 1, pxt, pyt, k))
+    ref = 0.0
+    for ti in range(2):
+        k = jax.random.fold_in(key, ti)
+        L = np.asarray(render_tile(
+            s, jnp.asarray(px[ti * 48:(ti + 1) * 48]),
+            jnp.asarray(py[ti * 48:(ti + 1) * 48]), k))
+        real = min(48, max(0, R - ti * 48))
+        ref += float(np.sum(L[:real] ** 2))
+    np.testing.assert_allclose(float(loss), ref / (R * 3), rtol=1e-5)
+    # a scanned run whose tile divides R must agree on loss scale too
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
 def test_grad_texture_texels():
     """Texture-texel gradients vs finite differences (BASELINE target:
     texels are declared differentiable params, parallel/sharding.get_params)."""

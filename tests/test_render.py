@@ -1,5 +1,6 @@
 """End-to-end forward-radiance tests vs the scalar oracle (BASELINE config #1)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from . import oracle
 SIZE = 16
 
 
+@pytest.mark.slow
 def test_triangle_sphere_matches_oracle():
     scene, cam, settings = registry.make('triangle_sphere', size=SIZE,
                                          bvh=False)
@@ -59,6 +61,69 @@ def test_bg_color_on_miss():
     assert np.allclose(img[-1, 0], [0.0, 0.0, 0.2], atol=1e-6)
 
 
+def test_two_light_blinn_specular_matches_per_light_oracle():
+    """Multi-light Blinn highlight: the reference applies pow PER LIGHT
+    inside the light loop (src/Blinn.cpp:215-221) — pow(sum_i s_i)*sum_i E_i
+    is wrong for >1 light. Scalar per-light oracle on a flat triangle with
+    two unshadowed point lights."""
+    from raytracer_tpu.geometry.build import SceneBuilder
+    from raytracer_tpu.io.objload import make_single_triangle
+    from raytracer_tpu.core.types import Camera, RenderSettings
+
+    kd = np.array([0.2, 0.3, 0.4])
+    spec_amt, spec_exp = 0.7, 12.0
+    lights = [((3.0, 2.0, 4.0), 200.0), ((-4.0, 1.0, 6.0), 300.0)]
+
+    b = SceneBuilder()
+    m = b.add_blinn(kd=tuple(kd), ks=(1, 1, 1), spec_exp=spec_exp,
+                    spec_amt=spec_amt)
+    b.add_mesh(make_single_triangle((-5, -5, 0), (5, -5, 0), (0, 5, 0)), m)
+    for pos, pw in lights:
+        b.add_point_light(pos, pw, cast_shadows=False)
+    b.set_bg_color((0, 0, 0))
+    scene = b.build(bvh=False)
+    cam = Camera.make(eye=(0.0, 0.0, 5.0), look_at=(0, 0, 0), fov=45.0)
+    st = RenderSettings(width=8, height=8, max_wavefront_steps=2)
+    img = np.asarray(renderer.render_center(scene, cam, st,
+                                            jax.random.PRNGKey(0)))
+
+    # scalar oracle (same camera mapping as tests/oracle.py)
+    INV_4PI = 0.25 / np.pi
+    top = np.tan(45.0 * np.pi / 360.0)
+    N = np.array([0.0, 0.0, 1.0])
+    eye = np.array([0.0, 0.0, 5.0])
+    checked = 0
+    for y in range(8):
+        for x in range(8):
+            iu = -top + 2 * top * ((x + 0.5) / 8)
+            iv = -top + 2 * top * ((y + 0.5) / 8)
+            d = np.array([iu, iv, -1.0])
+            d /= np.linalg.norm(d)
+            t = -eye[2] / d[2]
+            P = eye + t * d
+            # strictly inside the triangle (half-width shrinks with height)?
+            if not (-2.0 < P[1] < 2.0
+                    and abs(P[0]) < (5.0 - P[1]) / 2.0 - 0.2):
+                continue
+            v_dot = -d @ N
+            rvec = d + 2.0 * v_dot * N
+            expect = np.zeros(3)
+            for pos, pw in lights:
+                L = np.asarray(pos) - P
+                d2 = L @ L
+                Lh = L / np.sqrt(d2)
+                ndl = N @ Lh
+                atten = max(ndl, 0.0)
+                E = pw * INV_4PI / d2 * atten
+                s_i = max(0.0, rvec @ Lh) * atten
+                expect += E * (kd + spec_amt * s_i ** spec_exp)
+            np.testing.assert_allclose(img[y, x], expect, rtol=2e-4,
+                                       atol=1e-5)
+            checked += 1
+    assert checked > 10
+
+
+@pytest.mark.slow
 def test_adaptive_matches_uniform_within_noise():
     """Adaptive supersampling (Scene::adaptiveSampleScene,
     src/Scene.cpp:250-293) must agree with a high-spp uniform render within
@@ -89,6 +154,7 @@ def test_adaptive_matches_uniform_within_noise():
     assert counts.max() <= max_count
 
 
+@pytest.mark.slow
 def test_adaptive_saves_work_on_flat_regions():
     """A flat, trivially-converging scene (constant background, no hits)
     must stop at min_subdivs: the per-pixel sample counts expose the

@@ -7,6 +7,7 @@ testDispersion (src/Assignment3.h:97-193), makeFinalScene
 (src/main.cpp:132-671).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ def _render(scene, cam, settings, spp=1, key=0):
     return img
 
 
+@pytest.mark.slow
 def test_alpha_cutout_active():
     """The leaf texture's alpha channel must punch holes: disabling the
     alpha map (tex_alpha=-1) changes the image (reference cutout re-test,
@@ -39,6 +41,7 @@ def test_alpha_cutout_active():
     assert diff_frac > 0.01, f'cutout changed only {diff_frac:.3%} of pixels'
 
 
+@pytest.mark.slow
 def test_dispersion_separates_channels():
     """disperse=True refracts each RGB channel with its own IOR
     (src/Blinn.cpp:275-301): the dispersing render must differ from the
@@ -73,6 +76,7 @@ def test_translucency_adds_backlight():
     assert img.sum() > img2.sum()
 
 
+@pytest.mark.slow
 def test_normal_map_perturbs_shading():
     """tex_normal routes the tangent-frame mapped normal into shading
     (src/Blinn.cpp:120-128). A constant-tilt normal map must change the
@@ -106,6 +110,7 @@ def test_normal_map_perturbs_shading():
     assert not np.allclose(img1, img0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_final_forest_renders():
     """Flagship scene (instancing + alpha leaves + MB + dome + DOF) renders
     finite, non-trivial pixels at a reduced scale."""

@@ -13,11 +13,21 @@ import pytest
 from raytracer_tpu.parallel import sharding
 from raytracer_tpu.scenes import registry
 
+pytestmark = pytest.mark.slow  # multi-replica renders / FD sweeps
+
 SIZE = 16
 
 
 def _scene():
     return registry.make('cornell_pt', size=SIZE, bvh=True,
+                         num_rect_samples=1, max_bounces=2)
+
+
+def _scene_small():
+    """8x8 variant for collective-heavy (psum-inside-shard_map) tests: XLA
+    CPU's in-process collective watchdog aborts when virtual replicas of a
+    heavy program straggle on this 2-core box."""
+    return registry.make('cornell_pt', size=8, bvh=True,
                          num_rect_samples=1, max_bounces=2)
 
 
@@ -96,7 +106,7 @@ def test_train_step_decreases_loss():
     the 8-way psum correctness is pinned by test_loss_and_grads_matches_manual.
     """
     import optax
-    scene, cam, settings = _scene()
+    scene, cam, settings = _scene_small()
     key = jax.random.PRNGKey(0)
     mesh = sharding.make_mesh(2)
 
@@ -104,6 +114,7 @@ def test_train_step_decreases_loss():
     bright = scene.replace(rect_lights=scene.rect_lights.replace(
         power=scene.rect_lights.power * 2.0))
     target = sharding.render_sharded(bright, cam, settings, key, mesh, spp=1)
+    H = settings.height
 
     params = sharding.get_params(scene)
     # optimize only the smooth light-power params: adam-sized vertex steps
@@ -118,7 +129,7 @@ def test_train_step_decreases_loss():
     for i in range(4):
         params, opt_state, loss = sharding.train_step(
             params, opt_state, optimizer, scene, cam, settings, target,
-            key, mesh, spp=1)
+            key, mesh, spp=1, tile=32)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
@@ -145,7 +156,7 @@ def test_streamed_grads_match_unstreamed_estimator():
     l, g = sharding._tile_loss_grad(
         params, scene, cam, settings, target.reshape(-1, 3),
         jnp.asarray(xs.reshape(-1)), jnp.asarray(ys.reshape(-1)),
-        jax.random.fold_in(key, 0), 1)
+        jnp.ones(R, jnp.float32), jax.random.fold_in(key, 0), 1)
     scale = 1.0 / (R * 3)
     np.testing.assert_allclose(float(loss_s), float(l) * scale, rtol=1e-6)
     for k in grads_s:
@@ -170,6 +181,49 @@ def test_scanned_grads_match_streamed():
     np.testing.assert_allclose(float(l_sc), float(l_st), rtol=1e-6)
     for k in g_sc:
         np.testing.assert_allclose(np.asarray(g_sc[k]), np.asarray(g_st[k]),
+                                   rtol=1e-5, atol=1e-8, err_msg=k)
+
+
+def test_scanned_sharded_matches_single_device():
+    """loss_and_grads_scanned with a mesh (tiles sharded, psum of loss +
+    grads) must reproduce the single-device scan: the per-tile RNG keys are
+    global tile indices, so only the summation tree differs."""
+    scene, cam, settings = _scene_small()
+    key = jax.random.PRNGKey(11)
+    params = sharding.get_params(scene)
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    tile = 16  # 4 tiles over a 2-device mesh
+
+    l1, g1 = sharding.loss_and_grads_scanned(
+        params, scene, cam, settings, target, key, spp=1, tile=tile)
+    mesh = sharding.make_mesh(2)
+    l2, g2 = sharding.loss_and_grads_scanned(
+        params, scene, cam, settings, target, key, spp=1, tile=tile,
+        mesh=mesh)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-5, atol=1e-8, err_msg=k)
+
+
+def test_scanned_sharded_pads_tile_count():
+    """Tile count not divisible by the mesh: whole zero-mask padding tiles
+    must not change loss or grads."""
+    scene, cam, settings = _scene_small()
+    key = jax.random.PRNGKey(12)
+    params = sharding.get_params(scene)
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    tile = 8 * 8 // 3 + 1  # 3 tiles -> padded to 4 over 2 devices
+
+    l1, g1 = sharding.loss_and_grads_scanned(
+        params, scene, cam, settings, target, key, spp=1, tile=tile)
+    mesh = sharding.make_mesh(2)
+    l2, g2 = sharding.loss_and_grads_scanned(
+        params, scene, cam, settings, target, key, spp=1, tile=tile,
+        mesh=mesh)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=1e-5, atol=1e-8, err_msg=k)
 
 
