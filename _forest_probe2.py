@@ -39,9 +39,11 @@ for i in range(2):
     k = jax.random.fold_in(key, 100 + i)
     t0 = time.time()
     img = renderer.render(scene, cam, st, k, spp=1)
-    jax.block_until_ready(img)
+    # fetch-based timing: block_until_ready through the axon tunnel can
+    # return before remote execution completes; a scalar fetch cannot
+    s = float(jnp.sum(img))
     times.append(time.time() - t0)
-    print(f'iter {i}: {times[-1]:.3f}s '
+    print(f'iter {i}: {times[-1]:.3f}s sum={s:.1f} '
           f'({W*H/times[-1]/1e6:.3f} Mray/s primary)', flush=True)
 arr = np.asarray(img)
 print('mean radiance', arr.mean(), 'finite', np.isfinite(arr).all(),

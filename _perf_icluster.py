@@ -1,0 +1,90 @@
+"""Fetch-timed breakdown of the forest cluster2 path on TPU.
+
+Every timed quantity forces a device->host scalar fetch inside the timer
+(block_until_ready through the axon tunnel is not trustworthy; memoization
+is defeated by folding a fresh key into the ray origins).
+"""
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.scenes import registry
+from raytracer_tpu.render import integrator, camera as cam_mod
+from raytracer_tpu.ops.pallas import icluster_kernel as ick
+from raytracer_tpu.ops.pallas import cluster_kernel as ck
+from raytracer_tpu.ops import cluster_trace as ct
+
+W, H = 480, 270
+scene, cam, st = registry.make('final_forest', width=W, height=H)
+print('built', flush=True)
+
+R = W * H
+ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                     np.arange(W, dtype=np.float32), indexing='ij')
+px = jnp.asarray(xs.reshape(-1))
+py = jnp.asarray(ys.reshape(-1))
+
+
+def eye(jit_eps):
+    rands = jnp.full((R, 5), 0.5)
+    o, d, tm = cam_mod.eye_rays(cam, W, H, px + jit_eps, py, 0., 1., 0., 1.,
+                                rands)
+    return o, d, tm
+
+
+@jax.jit
+def t_icluster(scene, eps):
+    o, d, tm = eye(eps)
+    h = ick.pallas_icluster_trace(scene, o, d, tm, 1e-3, 1e12, False)
+    return jnp.sum(h.t * (h.tri >= 0))
+
+
+@jax.jit
+def t_mb(scene, eps):
+    o, d, tm = eye(eps)
+    h = None
+    for tab in integrator._mb_chunks(scene.mb_clusters):
+        h2 = ck.pallas_cluster_trace(scene, o, d, tm, 1e-3, 1e12, False,
+                                     table=tab, mb=True)
+        h = h2 if h is None else integrator._merge_hits(h, h2)
+    return jnp.sum(h.t * (h.tri >= 0))
+
+
+@jax.jit
+def t_chain(scene, eps):
+    o, d, tm = eye(eps)
+    tr = integrator.trace_fn(scene, st.replace(intersector='cluster2'))
+    h = tr(o, d, tm, 1e-3, 1e12, False)
+    return jnp.sum(h.t * (h.tri >= 0))
+
+
+@jax.jit
+def t_shadowish(scene, eps):
+    # dome-shadow-like rays: origins on the ground plane region, direction up
+    o, d, tm = eye(eps)
+    P = o + 2.0 * d
+    up = jnp.tile(jnp.asarray([[0.2, 0.9, 0.1]]), (R, 1))
+    tr = integrator.trace_fn(scene, st.replace(intersector='cluster2'))
+    h = tr(P, up, tm, 1e-3, 1e12, True)
+    return jnp.sum((h.tri >= 0).astype(jnp.float32))
+
+
+def bench(name, fn, iters=2):
+    fn(scene, 0.0005)  # compile
+    vals = []
+    for i in range(iters):
+        t0 = time.time()
+        v = float(fn(scene, 0.001 * (i + 1)))
+        vals.append(time.time() - t0)
+    mray = R / min(vals) / 1e6
+    print(f'{name}: {min(vals)*1000:.1f} ms ({mray:.2f} Mray/s) v={v:.1f}',
+          flush=True)
+
+
+bench('icluster raw (coherent primary)', t_icluster)
+bench('mb chunks (2 kernels)', t_mb)
+bench('full chain (alpha march)', t_chain)
+bench('any-hit chain (shadow-like)', t_shadowish)

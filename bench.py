@@ -1,9 +1,13 @@
 """Headline benchmark: rays/sec/chip, forward+backward, Sponza-scale 1080p 1spp.
 
 sponza.obj is not shipped with the reference (BASELINE.md), so the workload is
-the procedural sponza_proxy (~60k tris, rect area light, path traced) at
-1920x1080, 1 spp, forward render + backward pass to all differentiable scene
-parameters.
+the procedural sponza_proxy in its HD configuration (~175k tris with a
+second-story gallery + upper colonnade for real interior occlusion, rect
+area light, path traced at the registry's own max_bounces=10) at 1920x1080,
+1 spp, forward render + backward pass to all differentiable scene
+parameters. (Rounds 1-3 benched the 58k-tri single-story proxy at 3
+bounces; this workload is deliberately harder and closer to real Sponza —
+numbers are not comparable across that change.)
 
 vs_baseline: the reference publishes no rays/s number; its final frame
 (1920x1080, adaptive 9-25 spp, ~20 min on an i7 quad-core,
@@ -33,14 +37,14 @@ def main():
 
     width = int(os.environ.get('RT_BENCH_W', 1920))
     height = int(os.environ.get('RT_BENCH_H', 1080))
-    bounces = int(os.environ.get('RT_BENCH_BOUNCES', 3))
+    bounces = int(os.environ.get('RT_BENCH_BOUNCES', 10))
     spp = int(os.environ.get('RT_BENCH_SPP', 1))
     # 32k-ray tiles measured fastest at 1080p (8k: dispatch-latency bound
     # through the TPU tunnel; 64k: slightly past the sweet spot)
     tile = int(os.environ.get('RT_BENCH_TILE', 32 * 1024))
 
     scene, cam, settings = registry.make(
-        'sponza_proxy', width=width, height=height, bvh=True,
+        'sponza_proxy', width=width, height=height, bvh=True, hd=True,
         path_trace=True, max_bounces=bounces, ray_tile=tile)
     key = jax.random.PRNGKey(0)
 
@@ -67,13 +71,16 @@ def main():
     t0 = time.time()
     for i in range(n_iter):
         loss, grads = step(jax.random.fold_in(key, 1000 + i))
-        jax.block_until_ready((loss, grads))
+        # fetch-based completion: block_until_ready through the axon tunnel
+        # can return before remote execution finishes; a host fetch cannot
+        float(loss)
+        float(jnp.sum(grads['kd']))
     dt = (time.time() - t0) / n_iter
 
     rays = width * height * spp
     rays_per_sec = rays / dt
     print(json.dumps({
-        'metric': 'primary_rays_per_sec_per_chip_fwd_bwd_sponza_proxy_1080p',
+        'metric': 'primary_rays_per_sec_per_chip_fwd_bwd_sponza_hd_1080p',
         'value': round(rays_per_sec, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_per_sec / REF_RAYS_PER_SEC, 3),

@@ -306,6 +306,9 @@ class Scene:
     single_level: bool = struct.field(pytree_node=False, default=True)
     has_motion_blur: bool = struct.field(pytree_node=False, default=False)
     has_alpha_maps: bool = struct.field(pytree_node=False, default=False)
+    # True when any MOTION-BLURRED triangle has an alpha map: the cluster2
+    # tracer can hoist the MB pass out of the alpha re-trace loop otherwise
+    mb_has_alpha: bool = struct.field(pytree_node=False, default=False)
     has_material_env: bool = struct.field(pytree_node=False, default=False)
     has_dispersion: bool = struct.field(pytree_node=False, default=False)
     has_translucency: bool = struct.field(pytree_node=False, default=False)

@@ -211,16 +211,170 @@ def edge_sampling_vertex_grad(scene: Scene, cam: Camera,
     return grad
 
 
+@partial(jax.jit, static_argnames=('settings', 'n_samples'))
+def shadow_edge_vertex_grad(scene: Scene, cam: Camera,
+                            settings: RenderSettings, dL_dimg: jax.Array,
+                            key: jax.Array,
+                            n_samples: int = 4096) -> jax.Array:
+    """Boundary-term gradient from SHADOW discontinuities -> (V, 3).
+
+    Secondary-visibility analogue of edge_sampling_vertex_grad (Li et al.
+    2018 §secondary): a blocker silhouette AS SEEN FROM A POINT LIGHT casts
+    a hard shadow boundary onto receiver surfaces; moving the blocker's
+    vertices moves that boundary across pixels. Each sampled edge point X
+    maps through the light ray to the receiver point Pr (first hit beyond
+    X), whose camera projection is a point on a screen-space discontinuity
+    curve — from there the machinery is identical to the primary case
+    (side radiance across the projected curve, adjoint at the containing
+    pixel), with the velocity chained through the light projection:
+    d(screen)/d(vertex) = J_cam(Pr) . dPr/dX . dX/d(va,vb).
+
+    Scope (v1, documented): point lights with hard shadows, single-level
+    static scenes, pinhole camera; gradient flows to the BLOCKER vertices
+    (receiver-motion terms are second order here and omitted). Soft
+    (rect/dome) shadow boundaries are penumbrae — no boundary term in the
+    limit — and are left to the interior gradient.
+    """
+    if scene.edges is None:
+        raise ValueError('shadow edge sampling needs scene.edges '
+                         '(single-level scenes only)')
+    W, H = settings.width, settings.height
+    g = scene.geom
+    verts = jnp.asarray(g.vertices)
+    et: EdgeTable = scene.edges
+    vid = jnp.asarray(et.vid)
+    fid = jnp.asarray(et.fid)
+    E = vid.shape[0]
+    tracer = integrator.trace_fn(scene, settings)
+    fv = jnp.asarray(g.face_v)
+    p = verts[fv]
+    face_n = jnp.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])  # (T, 3)
+
+    grad = jnp.zeros_like(verts)
+    n_lights = scene.point_lights.position.shape[0]
+    M = n_samples // max(n_lights, 1)
+    for li in range(n_lights):
+        q = scene.point_lights.position[li]                # light position
+        if not scene.point_lights.cast_shadows[li]:
+            continue
+        # ---- silhouette classification as seen from the LIGHT
+        a = verts[vid[:, 0]]
+        b = verts[vid[:, 1]]
+        mid = 0.5 * (a + b)
+        view = mid - q
+        s0 = jnp.sum(face_n[jnp.maximum(fid[:, 0], 0)] * view, axis=-1)
+        s1 = jnp.sum(face_n[jnp.maximum(fid[:, 1], 0)] * view, axis=-1)
+        open_edge = fid[:, 1] < 0
+        silhouette = open_edge | (s0 * s1 <= 0.0)
+        # world-length importance (the shadow curve's screen length is
+        # unknown a priori; the per-sample |d(screen)/ds| corrects exactly)
+        w_edge = jnp.where(silhouette, jnp.linalg.norm(b - a, axis=-1), 0.0)
+        total = jnp.sum(w_edge)
+        cdf = jnp.cumsum(w_edge) / jnp.maximum(total, 1e-20)
+
+        k_li = jax.random.fold_in(key, li)
+        k_e, k_s, k_r = jax.random.split(k_li, 3)
+        ue = jax.random.uniform(k_e, (M,))
+        es = jnp.clip(jnp.searchsorted(cdf, ue).astype(jnp.int32), 0, E - 1)
+        ss = jax.random.uniform(k_s, (M,))
+
+        va = verts[vid[es, 0]]                             # (M, 3)
+        vb = verts[vid[es, 1]]
+        X = va + ss[:, None] * (vb - va)
+        dirX = X - q
+        distX = jnp.linalg.norm(dirX, axis=-1)
+        dhat = dirX / jnp.maximum(distX[:, None], 1e-12)
+
+        # light visibility of X (another occluder kills the boundary)
+        hq = tracer(jnp.broadcast_to(q, X.shape), dhat,
+                    jnp.zeros(M, jnp.float32), EPSILON,
+                    jnp.float32(vm.MIRO_TMAX), False)
+        lit = hq.t >= distX * (1.0 - 1e-3)
+
+        # receiver point: first hit beyond X along the light ray
+        hr = tracer(X, dhat, jnp.zeros(M, jnp.float32),
+                    distX * 1e-3 + 1e-4, jnp.float32(vm.MIRO_TMAX), False)
+        has_rec = hr.valid
+        Pr0 = X + hr.t[:, None] * dhat
+        rec_tri = jnp.maximum(hr.tri, 0)
+        pr = verts[fv[rec_tri]]
+        Nr = vm.normalize(jnp.cross(pr[:, 1] - pr[:, 0],
+                                    pr[:, 2] - pr[:, 0]))  # (M, 3)
+        Nr = jax.lax.stop_gradient(Nr)
+        cplane = jnp.sum(jax.lax.stop_gradient(Pr0) * Nr, axis=-1)
+
+        def screen_of_x(Xp, Nr1, c1):
+            """Edge point -> receiver point (light-plane projection) ->
+            screen coords. The differentiable chain for the velocity."""
+            dir1 = Xp - q
+            t1 = (c1 - jnp.dot(q, Nr1)) / jnp.dot(dir1, Nr1)
+            Pr = q + t1 * dir1
+            return _project(cam, W, H, Pr)[0]
+
+        xs = jax.vmap(screen_of_x)(X, Nr, cplane)          # (M, 2)
+        JX = jax.vmap(jax.jacfwd(screen_of_x))(X, Nr, cplane)  # (M, 2, 3)
+        # curve tangent: d screen / ds = JX . (vb - va)
+        e2d = jnp.einsum('mij,mj->mi', JX, vb - va)        # (M, 2)
+        elen = jnp.linalg.norm(e2d, axis=-1)
+        edir = e2d / jnp.maximum(elen[:, None], 1e-12)
+        n2d = jnp.stack([edir[:, 1], -edir[:, 0]], axis=-1)
+
+        delta = 0.5
+        k1, k2 = jax.random.split(k_r)
+
+        def side_radiance(spts, k):
+            o, d = jax.vmap(lambda s: _screen_ray(cam, W, H, s))(spts)
+            t0 = jnp.zeros(M, jnp.float32)
+            return integrator.radiance(scene, settings, o, d, t0, k)
+
+        f_plus = side_radiance(xs + delta * n2d, k1)
+        f_minus = side_radiance(xs - delta * n2d, k2)
+
+        # camera visibility of the receiver point
+        oC = jnp.broadcast_to(cam.eye, Pr0.shape)
+        dC = Pr0 - oC
+        distC = jnp.linalg.norm(dC, axis=-1)
+        dCn = dC / jnp.maximum(distC[:, None], 1e-12)
+        hc = tracer(oC, dCn, jnp.zeros(M, jnp.float32), EPSILON,
+                    jnp.float32(vm.MIRO_TMAX), False)
+        vis_cam = hc.t >= distC * (1.0 - 1e-3)
+        on_screen = ((xs[:, 0] >= 0) & (xs[:, 0] <= W)
+                     & (xs[:, 1] >= 0) & (xs[:, 1] <= H))
+
+        pxi = jnp.clip(jnp.floor(xs[:, 0]).astype(jnp.int32), 0, W - 1)
+        pyi = jnp.clip(jnp.floor(xs[:, 1]).astype(jnp.int32), 0, H - 1)
+        adj = dL_dimg[pyi, pxi]                            # (M, 3)
+
+        ok = lit & has_rec & vis_cam & on_screen
+        # dl = |d screen/ds| ds; pdf = (w_e/total) * 1  =>  weight =
+        # elen * total / (w_e * M)
+        w = jnp.where(ok, elen * total
+                      / jnp.maximum(w_edge[es] * M, 1e-20), 0.0)
+        scal = jnp.sum(adj * (f_minus - f_plus), axis=-1) * w
+
+        # velocity onto vertices: d screen/d va = JX * (1-s), / d vb = JX * s
+        Jtn = jnp.einsum('mij,mi->mj', JX, n2d)            # (M, 3)
+        ga = scal[:, None] * (1.0 - ss)[:, None] * Jtn
+        gb = scal[:, None] * ss[:, None] * Jtn
+        grad = grad.at[vid[es, 0]].add(ga)
+        grad = grad.at[vid[es, 1]].add(gb)
+    return grad
+
+
 def loss_and_grads_with_edges(params: dict, scene: Scene, cam: Camera,
                               settings: RenderSettings, target: jax.Array,
                               key: jax.Array, spp: int = 1,
                               tile: int | None = None,
-                              edge_samples: int = 4096):
+                              edge_samples: int = 4096,
+                              shadow_edges: bool = True,
+                              mesh=None):
     """Interior (autodiff) + boundary (edge-sampled) gradients.
 
     MSE loss as in parallel/sharding: loss = sum((img-target)^2)/(H*W*3);
-    the boundary term uses dL/dimg = 2(img - target)/(H*W*3) evaluated on a
-    fresh forward render.
+    the boundary terms use dL/dimg = 2(img - target)/(H*W*3) evaluated on a
+    fresh forward render. Covers primary silhouettes and (when
+    shadow_edges and the scene has shadow-casting point lights) hard
+    shadow boundaries.
     """
     from ..parallel import sharding
     from ..render import renderer
@@ -230,9 +384,11 @@ def loss_and_grads_with_edges(params: dict, scene: Scene, cam: Camera,
             'loss_and_grads_with_edges needs scene.edges (single-level '
             'scenes only); use sharding.loss_and_grads_scanned instead')
     loss, grads = sharding.loss_and_grads_scanned(
-        params, scene, cam, settings, target, key, spp=spp, tile=tile)
+        params, scene, cam, settings, target, key, spp=spp, tile=tile,
+        mesh=mesh)
     s = sharding.apply_params(scene, params)
-    k_img, k_edge = jax.random.split(jax.random.fold_in(key, 0x0ede))
+    k_img, k_edge, k_sh = jax.random.split(jax.random.fold_in(key, 0x0ede),
+                                           3)
     img = renderer.render(s, cam, settings, k_img, spp=spp)
     W, H = settings.width, settings.height
     dL_dimg = 2.0 * (img - target) / (W * H * 3)
@@ -240,4 +396,24 @@ def loss_and_grads_with_edges(params: dict, scene: Scene, cam: Camera,
                                        n_samples=edge_samples)
     grads = dict(grads)
     grads['vertices'] = grads['vertices'] + g_edge
+    if shadow_edges and any(scene.point_lights.cast_shadows):
+        g_sh = shadow_edge_vertex_grad(s, cam, settings, dL_dimg, k_sh,
+                                       n_samples=edge_samples)
+        grads['vertices'] = grads['vertices'] + g_sh
     return loss, grads
+
+
+def train_step_with_edges(params, opt_state, optimizer, scene, cam,
+                          settings, target, key, spp: int = 1,
+                          tile: int | None = None,
+                          edge_samples: int = 4096, mesh=None):
+    """Optimizer step using the COMBINED interior+boundary gradient — the
+    vertex-fitting analogue of parallel/sharding.train_step."""
+    import optax
+
+    loss, grads = loss_and_grads_with_edges(
+        params, scene, cam, settings, target, key, spp=spp, tile=tile,
+        edge_samples=edge_samples, mesh=mesh)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss

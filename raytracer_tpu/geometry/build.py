@@ -373,6 +373,8 @@ class SceneBuilder:
             assert single_level, 'instancing requires bvh=True'
 
         has_alpha = bool(np.any(materials.tex_alpha[geom.face_mat] >= 0))
+        mb_has_alpha = bool(np.any(
+            materials.tex_alpha[geom.face_mat[geom.face_mb]] >= 0))
         has_mat_env = bool(np.any(materials.tex_env >= 0))
         has_disperse = bool(np.any(materials.disperse))
         has_transl = bool(np.any(materials.translucency > 0.01))
@@ -401,6 +403,7 @@ class SceneBuilder:
             env_exposure=np.float32(self._env_exposure),
             bg_color=self._bg, env_tex=self._env_tex,
             single_level=single_level, has_motion_blur=self._has_mb,
-            has_alpha_maps=has_alpha, has_material_env=has_mat_env,
+            has_alpha_maps=has_alpha, mb_has_alpha=mb_has_alpha,
+            has_material_env=has_mat_env,
             has_dispersion=has_disperse, has_translucency=has_transl,
             bvh_root=bvh_root)

@@ -190,7 +190,10 @@ def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
         return (s['passes'] < max_passes) & jnp.any(~s['done'])
 
     def body(s):
-        hit = trace_once(o, d, time_b, s['tmin'], tmax_b, any_hit)
+        # done rays become instant misses (tmax < 0 fails every slab test)
+        # so later passes only pay for rays still marching through cutouts
+        tmax_eff = jnp.where(s['done'], jnp.float32(-1.0), tmax_b)
+        hit = trace_once(o, d, time_b, s['tmin'], tmax_eff, any_hit)
         live = ~s['done']
         valid = hit.valid
         alpha = _alpha_of(scene, jnp.maximum(hit.tri, 0), hit.a, hit.b)

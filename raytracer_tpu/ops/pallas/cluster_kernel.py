@@ -59,6 +59,27 @@ def _kernel(bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref, tri_ref,
     tmin, tmax = ray_row(6), ray_row(7)
     time = ray_row(8)
 
+    # miss defaults; whole block skipped when every ray is disabled
+    # (tmax < 0: dead wavefront lanes, finished alpha-march rays, padding)
+    t_out[0, 0, :] = jnp.full((RB,), f32(MIRO_TMAX))
+    tri_out[0, 0, :] = jnp.full((RB,), -1, jnp.int32)
+    a_out[0, 0, :] = jnp.zeros((RB,), f32)
+    b_out[0, 0, :] = jnp.zeros((RB,), f32)
+
+    @pl.when(jnp.any(tmax > 0.0))
+    def _block_body():
+        _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
+                     bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref,
+                     q2_ref, tri_ref, t_out, tri_out, a_out, b_out,
+                     any_hit=any_hit, mb=mb, M=M, C=C, RB=RB)
+
+
+def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
+                 bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref,
+                 tri_ref, t_out, tri_out, a_out, b_out,
+                 *, any_hit: bool, mb: bool, M: int, C: int, RB: int):
+    f32 = jnp.float32
+
     def rcp(v):
         tiny = f32(1e-20)
         return 1.0 / jnp.where(jnp.abs(v) < tiny,
@@ -238,8 +259,13 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
         q0 = jnp.asarray(cl.p0_t1, f32).reshape(M * 3, C)
         q1 = jnp.asarray(cl.e1_t1, f32).reshape(M * 3, C)
         q2 = jnp.asarray(cl.e2_t1, f32).reshape(M * 3, C)
+        mq = M
     else:
-        q0, q1, q2 = p0, e1, e2
+        # static: the kernel never reads the t=1 pose — pass tiny dummies
+        # instead of aliasing p0/e1/e2 (duplicate operands are NOT deduped
+        # in VMEM and would double the table footprint)
+        q0 = q1 = q2 = jnp.zeros((3, C), f32)
+        mq = 1
     tri = jnp.asarray(cl.tri, jnp.int32)
 
     nb = Rp // rb
@@ -251,9 +277,9 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
             pl.BlockSpec((M * 3, C), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((M * 3, C), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((M * 3, C), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M * 3, C), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M * 3, C), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((M * 3, C), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mq * 3, C), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mq * 3, C), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mq * 3, C), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((M, C), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 9, rb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

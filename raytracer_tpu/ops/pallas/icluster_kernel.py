@@ -44,10 +44,11 @@ from ...core.vecmath import MIRO_TMAX
 from ..intersect import Hit
 
 BIG = np.float32(3e38)
-# 128-ray blocks: the persistent (RB, I) instance-key matrix (plus its
+# 96-ray blocks: the persistent (RB, I) instance-key matrix (plus its
 # masked copy in the sweep) dominates scoped VMEM at forest-scale instance
-# counts; RB=256 blew the 16 MB scoped-vmem limit by 2.6 MB at I=1920
-DEF_RB = 128
+# counts; RB=256 blew the 16 MB scoped-vmem limit by 2.6 MB at I=1920 and
+# RB=128 by 194 KB once the all-dead-block skip added its default writes
+DEF_RB = 96
 
 
 def _kernel(ibb_ref, iminv_ref, imeta_ref, pbb_ref, pmeta_ref,
@@ -62,6 +63,33 @@ def _kernel(ibb_ref, iminv_ref, imeta_ref, pbb_ref, pmeta_ref,
     ox, oy, oz = ray_row(0), ray_row(1), ray_row(2)
     dx, dy, dz = ray_row(3), ray_row(4), ray_row(5)
     tmin, tmax = ray_row(6), ray_row(7)
+
+    # miss defaults; whole block skipped when every ray is disabled
+    # (tmax < 0 marks dead wavefront lanes, finished alpha-march rays, and
+    # ray padding) — the alpha re-trace wrapper and the bounce loop both
+    # rely on this to make follow-up passes nearly free
+    t_out[0, 0, :] = jnp.full((RB,), f32(MIRO_TMAX))
+    tri_out[0, 0, :] = jnp.full((RB,), -1, jnp.int32)
+    inst_out[0, 0, :] = jnp.zeros((RB,), jnp.int32)
+    a_out[0, 0, :] = jnp.zeros((RB,), f32)
+    b_out[0, 0, :] = jnp.zeros((RB,), f32)
+
+    @pl.when(jnp.any(tmax > 0.0))
+    def _block_body():
+        _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
+                     iminv_ref, imeta_ref, ibb_ref, pbb_ref, pmeta_ref,
+                     p0_ref, e1_ref, e2_ref, tri_ref,
+                     t_out, tri_out, inst_out, a_out, b_out,
+                     any_hit=any_hit, I=I, NI=NI, MP=MP, C=C, RB=RB)
+
+
+def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
+                 iminv_ref, imeta_ref, ibb_ref, pbb_ref, pmeta_ref,
+                 p0_ref, e1_ref, e2_ref, tri_ref,
+                 t_out, tri_out, inst_out, a_out, b_out,
+                 *, any_hit: bool, I: int, NI: int, MP: int, C: int,
+                 RB: int):
+    f32 = jnp.float32
 
     def rcp(v):
         tiny = f32(1e-20)

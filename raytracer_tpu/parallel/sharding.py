@@ -367,6 +367,86 @@ def loss_and_grads_streamed(params: dict, scene: Scene, cam: Camera,
     return total_loss * scale, grads
 
 
+@partial(jax.jit, static_argnames=('settings', 'spp', 'mesh'))
+def loss_and_grads_geometry_sharded(params: dict, scene: Scene, cam: Camera,
+                                    settings: RenderSettings,
+                                    target: jax.Array, key: jax.Array,
+                                    mesh: Mesh, spp: int = 1):
+    """MSE loss + grads with the CLUSTER TABLE sharded over the mesh
+    (beyond-HBM geometry): rays are also sharded; each device ring-traces
+    its ray shard against the rotating cluster shards (ops/ring_trace.py)
+    and the loss/grad partials psum.
+
+    Differentiable-vertex support: each device refreshes ITS cluster shard
+    from the current (replicated) vertex params inside shard_map — the
+    refresh is row-local (a gather from the replicated vertex array), so no
+    collective is needed and the sharded tables track vertex updates
+    exactly like the replicated path (apply_params). The refresh shapes
+    only the forward hit search (tracers stop-gradient their tables;
+    refine_hit recomputes from the vertices), so it runs under
+    stop_gradient.
+
+    Same estimator and RNG as loss_and_grads (rays sharded,
+    fold_in(axis_index) per shard): on an exact tracer the two agree to
+    reduction order.
+    """
+    from ..ops.ring_trace import shard_clusters
+    from ..geometry.clusters import refresh_clusters
+
+    assert scene.clusters is not None, 'geometry sharding needs clusters'
+    W, H = settings.width, settings.height
+    R = W * H
+    n_dev = mesh.devices.size
+    cl = shard_clusters(scene.clusters, n_dev)
+    scene_stripped = scene.replace(clusters=None)
+    settings = settings.replace(intersector='ring')
+    pad = (-R) % n_dev
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing='ij')
+    px = jnp.concatenate([xs.reshape(-1), jnp.zeros(pad, jnp.float32)])
+    py = jnp.concatenate([ys.reshape(-1), jnp.zeros(pad, jnp.float32)])
+    tgt = jnp.concatenate([target.astype(jnp.float32).reshape(-1, 3),
+                           jnp.zeros((pad, 3), jnp.float32)])
+    msk = jnp.concatenate([jnp.ones(R, jnp.float32),
+                           jnp.zeros(pad, jnp.float32)])
+
+    def fn(p, scene_s, cam_, cl_shard, px, py, tgt, msk, key):
+        try:
+            p = jax.tree_util.tree_map(
+                lambda x: jax.lax.pcast(x, (AXIS,), to='varying'), p)
+        except AttributeError:  # pragma: no cover — older jax
+            p = jax.tree_util.tree_map(
+                lambda x: jax.lax.pvary(x, (AXIS,)), p)
+        key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+
+        # forward-only refresh of THIS device's cluster shard
+        sg = jax.lax.stop_gradient
+        shift = sg(p['vertices']) - scene_s.geom.vertices
+        geom_f = scene_s.geom.replace(
+            vertices=sg(p['vertices']),
+            vertices_t1=scene_s.geom.vertices_t1 + shift)
+        cl2 = refresh_clusters(cl_shard, geom_f, scene_s.has_motion_blur)
+        s_base = scene_s.replace(clusters=cl2)
+
+        def loss_fn(pp):
+            s = apply_params(s_base, pp, refresh=False)
+            L = _render_local(s, cam_, settings, spp, px, py, key)
+            return jnp.sum(msk[:, None] * (L - tgt) ** 2)
+
+        l, g = jax.value_and_grad(loss_fn)(p)
+        return jax.lax.psum(l, AXIS), jax.lax.psum(g, AXIS)
+
+    total, grads = shard_map(
+        fn, mesh,
+        in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P()),
+        out_specs=(P(), P()))(params, scene_stripped, cam, cl, px, py,
+                              tgt, msk, key)
+    scale = 1.0 / (R * 3)
+    grads = jax.tree_util.tree_map(lambda x: x * scale, grads)
+    return total * scale, grads
+
+
 def train_step(params, opt_state, optimizer, scene, cam, settings, target,
                key, mesh=None, spp: int = 1, tile: int | None = None):
     """One optimizer step of differentiable texture/light/geometry fitting

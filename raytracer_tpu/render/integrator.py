@@ -143,16 +143,12 @@ def _sort_wavefront(state: dict) -> dict:
 
 
 def _pallas_cluster_ok(scene: Scene) -> bool:
-    """Kernel eligibility: single-level, table fits VMEM. Alpha-cutout
-    scenes are handled by the re-trace wrapper (cluster_trace.
-    alpha_aware_trace) around the kernel."""
-    cl = scene.clusters
-    if cl is None or not scene.single_level:
-        return False
-    M, _, C = cl.p0.shape
-    n_basis = 6 if scene.has_motion_blur else 3
-    vmem = M * 3 * C * 4 * n_basis + M * C * 4 + M * 6 * 4
-    return vmem < 8 * 1024 * 1024
+    """Kernel eligibility: single-level scenes with a cluster table.
+    Tables beyond the per-kernel VMEM budget are row-chunked (_mb_chunks)
+    and the per-chunk hits merged by nearest t, so size does not gate.
+    Alpha-cutout scenes are handled by the re-trace wrapper
+    (cluster_trace.alpha_aware_trace) around the kernel."""
+    return scene.clusters is not None and scene.single_level
 
 
 def _pallas_icluster_ok(scene: Scene) -> bool:
@@ -173,11 +169,14 @@ def _pallas_icluster_ok(scene: Scene) -> bool:
     return tables + work <= 12 * 1024 * 1024
 
 
-def _mb_chunks(mb):
-    """Split a (motion-blur) cluster table into row chunks that each fit
-    the single-level kernel's VMEM budget; hits merge by nearest t."""
+def _mb_chunks(mb, has_mb: bool = True):
+    """Split a cluster table into row chunks that each fit the
+    single-level kernel's VMEM budget; hits merge by nearest t. has_mb:
+    the t=1 pose tables count only for motion-blurred tables (static
+    kernels get dummy q operands)."""
     M, _, C = mb.p0.shape
-    nbytes = M * 3 * C * 4 * 6 + M * C * 4 + M * 6 * 4
+    n_basis = 6 if has_mb else 3
+    nbytes = M * 3 * C * 4 * n_basis + M * C * 4 + M * 6 * 4
     n = -(-nbytes // (8 * 1024 * 1024))
     if n <= 1:
         return [mb]
@@ -238,46 +237,76 @@ def trace_fn(scene: Scene, settings: RenderSettings):
     if mode == 'cluster_pallas':
         from ..ops.pallas import cluster_kernel as ck
 
-        if scene.has_alpha_maps:
-            from ..ops import cluster_trace as ct
-
-            def tracer(o, d, time, tmin, tmax, any_hit):
-                def once(o_, d_, tm_, tn_, tx_, ah):
-                    return ck.pallas_cluster_trace(scene, o_, d_, tm_, tn_,
-                                                   tx_, ah)
-                return ct.alpha_aware_trace(scene, once, o, d, time, tmin,
-                                            tmax, any_hit)
-            return tracer
-
-        def tracer(o, d, time, tmin, tmax, any_hit):
-            return ck.pallas_cluster_trace(scene, o, d, time, tmin, tmax,
-                                           any_hit)
-        return tracer
-    if mode == 'cluster2':
-        # two-level instanced kernel (+ separate MB pass, merged by t),
-        # alpha-cutout handled by the re-trace wrapper
-        from ..ops.pallas import icluster_kernel as ick
-        from ..ops.pallas import cluster_kernel as ck
-
-        def base(o, d, time, tmin, tmax, any_hit):
-            h = ick.pallas_icluster_trace(scene, o, d, time, tmin, tmax,
-                                          any_hit)
-            if scene.mb_clusters is not None:
-                for tab in _mb_chunks(scene.mb_clusters):
-                    h2 = ck.pallas_cluster_trace(scene, o, d, time, tmin,
-                                                 tmax, any_hit,
-                                                 table=tab, mb=True)
-                    h = _merge_hits(h, h2)
+        # tables beyond the per-kernel VMEM budget split into row chunks
+        # (SAH build order -> spatially coherent chunks); per-chunk hits
+        # merge by nearest t
+        def once(o_, d_, tm_, tn_, tx_, ah):
+            h = None
+            for tab in _mb_chunks(scene.clusters, scene.has_motion_blur):
+                h2 = ck.pallas_cluster_trace(scene, o_, d_, tm_, tn_, tx_,
+                                             ah, table=tab)
+                h = h2 if h is None else _merge_hits(h, h2)
             return h
 
         if scene.has_alpha_maps:
             from ..ops import cluster_trace as ct
 
             def tracer(o, d, time, tmin, tmax, any_hit):
+                return ct.alpha_aware_trace(scene, once, o, d, time, tmin,
+                                            tmax, any_hit)
+            return tracer
+        return once
+    if mode == 'cluster2':
+        # two-level instanced kernel (+ separate MB pass, merged by t),
+        # alpha-cutout handled by the re-trace wrapper
+        from ..ops.pallas import icluster_kernel as ick
+        from ..ops.pallas import cluster_kernel as ck
+
+        def trace_mb(o, d, time, tmin, tmax, any_hit, h):
+            for tab in _mb_chunks(scene.mb_clusters):
+                h2 = ck.pallas_cluster_trace(scene, o, d, time, tmin,
+                                             tmax, any_hit,
+                                             table=tab, mb=True)
+                h = h2 if h is None else _merge_hits(h, h2)
+            return h
+
+        def base(o, d, time, tmin, tmax, any_hit):
+            h = ick.pallas_icluster_trace(scene, o, d, time, tmin, tmax,
+                                          any_hit)
+            if scene.mb_clusters is not None:
+                h = trace_mb(o, d, time, tmin, tmax, any_hit, h)
+            return h
+
+        if not scene.has_alpha_maps:
+            return base
+        from ..ops import cluster_trace as ct
+
+        if scene.mb_clusters is None or scene.mb_has_alpha:
+            # MB triangles carry alpha maps too: everything re-traces
+            def tracer(o, d, time, tmin, tmax, any_hit):
                 return ct.alpha_aware_trace(scene, base, o, d, time, tmin,
                                             tmax, any_hit)
             return tracer
-        return base
+
+        # Opaque MB partition: trace it ONCE, bound the alpha re-trace
+        # march by its hit t (the march only needs instanced hits nearer
+        # than the opaque MB surface), merge at the end. Saves n_chunks
+        # kernel launches per re-trace pass.
+        def tracer(o, d, time, tmin, tmax, any_hit):
+            h_mb = trace_mb(o, d, time, tmin, tmax, any_hit, None)
+            tmax2 = jnp.minimum(jnp.broadcast_to(jnp.asarray(tmax,
+                                                             o.dtype),
+                                                 o.shape[:1]),
+                                jax.lax.stop_gradient(h_mb.t))
+
+            def inst_only(o_, d_, t_, tn_, tx_, ah):
+                return ick.pallas_icluster_trace(scene, o_, d_, t_, tn_,
+                                                 tx_, ah)
+
+            h = ct.alpha_aware_trace(scene, inst_only, o, d, time, tmin,
+                                     tmax2, any_hit)
+            return _merge_hits(h, h_mb)
+        return tracer
     if mode == 'ring':
         # geometry-sharded: scene.clusters holds THIS device's shard; must
         # run inside shard_map (parallel/sharding.render_geometry_sharded)
@@ -336,7 +365,12 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
                               state['L'], state['alive'])
         kind = state['kind']
         time = state['time']
-        hit = tracer(o, d, time, EPSILON, MIRO_TMAX, False)
+        # dead lanes get tmax < 0: every tracer culls them instantly, and
+        # the Pallas kernels skip whole all-dead blocks (dead rays compact
+        # to the back under sort_rays)
+        tmax_live = jnp.where(alive, jnp.float32(MIRO_TMAX),
+                              jnp.float32(-1.0))
+        hit = tracer(o, d, time, EPSILON, tmax_live, False)
         found = hit.valid & alive
         t, a, b = isect.refine_hit(scene, o, d, time, hit)
 
@@ -444,9 +478,13 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         # (isSecondary, src/DomeLight.cpp:89). Batched wavefronts mix ray
         # kinds, so we always use the configured counts — identical
         # expectation, equal-or-lower variance.
+        # shadow rays only for lanes whose terms survive (diffuse branch of
+        # a real hit) — the rest trace with tmax<0 (instant cull / whole
+        # dead Pallas blocks skipped)
         lpw, specw3, lp_back = lt.sample_all_lights(
             scene, tracer, P, the_n, rvec, spec_exp, time, k_l1, False,
-            settings, want_back=scene.has_translucency)
+            settings, want_back=scene.has_translucency,
+            active=diffuse_branch)
 
         w_d = (tp * rr_recip[:, None]) * diffuse_branch[:, None]
         # specw3 is already sum_i E_i*pow(spec_i, exp) (per-light pow,

@@ -151,13 +151,23 @@ def teapot_blinn(size=512, bvh=True, spec=True, **kw):
 
 
 @register('dome_teapot')
-def dome_teapot(size=512, hdr='sky.hdr', dome_samples=4, bvh=True, **kw):
+def dome_teapot(size=512, hdr='sky.hdr', dome_samples=4, bvh=True,
+                ground='grass', **kw):
     """BASELINE config #4 stand-in: textured ground + teapot under an HDR
     DomeLight with importance sampling (dragon_2.obj is not shipped).
-    Dome mechanics mirror makeFinalScene's sky.hdr dome (src/main.cpp:150-165)."""
+    Dome mechanics mirror makeFinalScene's sky.hdr dome (src/main.cpp:150-165).
+
+    ground='stone' bakes the procedural Worley/Perlin StoneTexture
+    (shading/procedural.py, reference src/StoneTexture.cpp:10-109 as used
+    on live scene floors, src/main.cpp:18) onto the ground plane."""
     b = SceneBuilder()
     sky = b.add_texture_file(os.path.join(TEXTURES, hdr))
-    grass = b.add_texture_file(os.path.join(TEXTURES, 'grass-color-01.tga'))
+    if ground == 'stone':
+        from ..shading.procedural import bake_stone_texture
+        grass = b.add_texture(bake_stone_texture(size=256))
+    else:
+        grass = b.add_texture_file(os.path.join(TEXTURES,
+                                                'grass-color-01.tga'))
     gmat = b.add_blinn(kd=(1, 1, 1), tex_color=grass)
     b.add_mesh(shapes.quad((-8, 0, -8), (8, 0, -8), (8, 0, 8), (-8, 0, 8)),
                gmat)
@@ -232,12 +242,18 @@ def instanced_teapots(size=256, grid=4, bvh=True, **kw):
 
 @register('sponza_proxy')
 def sponza_proxy(width=1920, height=1080, bvh=True, path_trace=True,
-                 max_bounces=10, rect_samples=1, **kw):
+                 max_bounces=10, rect_samples=1, hd=False, **kw):
     """BASELINE config #5 stand-in: sponza.obj is not shipped with the
     reference (only its light quad, Models/sponza-light.obj), so this builds
-    a comparable ~60k-triangle atrium (floor, walls, colonnade, dense teapot
-    clutter) with the original sponza light quad + rectangle light
-    (makeSponzaScenePathTrace, src/assignment2.h:663-710)."""
+    a comparable atrium (floor, walls, colonnade, dense teapot clutter)
+    with the original sponza light quad + rectangle light
+    (makeSponzaScenePathTrace, src/assignment2.h:663-710).
+
+    hd=True is the benchmark configuration: ~190k triangles with real
+    interior occlusion — a second-story gallery slab with a central
+    opening, an upper colonnade row, balustrade blocks, and 3x the floor
+    clutter (real Sponza is ~260k tris with two colonnade stories; the
+    round-3 58k-tri single-story proxy was too coherent a workload)."""
     b = SceneBuilder()
     white = b.add_blinn(kd=(1, 1, 1))
     lmat = b.add_blinn(kd=(1, 1, 1), emitted_power=1.5, le=(1, 1, 1))
@@ -249,21 +265,42 @@ def sponza_proxy(width=1920, height=1080, bvh=True, path_trace=True,
     b.add_mesh(shapes.box((-10, 0, 5.0), (10, 8, 5.2)), white)
     b.add_mesh(shapes.box((-10.2, 0, -5.2), (-10.0, 8, 5.2)), white)
     b.add_mesh(shapes.box((10.0, 0, -5.2), (10.2, 8, 5.2)), white)
-    # colonnade
+    # ground-floor colonnade
     for i in range(12):
         x = -9 + i * 1.64
         for z in (-3.5, 3.5):
             b.add_mesh(shapes.cylinder((x, 0, z), 0.3, 5.0, n_seg=16), white)
+    if hd:
+        # second-story gallery: slabs along both sides with a central
+        # opening (the atrium), upper colonnade + balustrade — the
+        # occluders that make interior light transport sponza-like
+        for z0, z1 in ((-5.0, -2.5), (2.5, 5.0)):
+            b.add_mesh(shapes.box((-10, 4.8, z0), (10, 5.0, z1)), white)
+        for x0, x1 in ((-10.0, -8.5), (8.5, 10.0)):
+            b.add_mesh(shapes.box((x0, 4.8, -2.5), (x1, 5.0, 2.5)), white)
+        for i in range(12):
+            x = -9 + i * 1.64
+            for z in (-3.0, 3.0):
+                b.add_mesh(shapes.cylinder((x, 5.0, z), 0.25, 3.0,
+                                           n_seg=16), white)
+                # balustrade blocks between upper columns
+                b.add_mesh(shapes.box((x - 0.7, 5.0, z - 0.08),
+                                      (x + 0.7, 5.6, z + 0.08)), white)
     # clutter to sponza-scale triangle counts
     from ..io.objload import MeshData, compute_tangents
     teapot = load_obj(os.path.join(MODELS, 'teapot.obj'))
     compute_tangents(teapot)
     rng = np.random.default_rng(3163513)
-    n_teapots = kw.pop('n_teapots', 100)
-    for _ in range(n_teapots):
+    n_teapots = kw.pop('n_teapots', 300 if hd else 100)
+    for k in range(n_teapots):
         t = teapot.vertices * rng.uniform(0.2, 0.5)
-        t = t + np.asarray([rng.uniform(-9, 9), 0.0,
-                            rng.uniform(-4, 4)], np.float32)
+        # hd: a third of the clutter lives on the upper gallery
+        if hd and k % 3 == 0:
+            t = t + np.asarray([rng.uniform(-9, 9), 5.0,
+                                rng.uniform(-4.6, -2.8)], np.float32)
+        else:
+            t = t + np.asarray([rng.uniform(-9, 9), 0.0,
+                                rng.uniform(-4, 4)], np.float32)
         m = MeshData(vertices=t.astype(np.float32), normals=teapot.normals,
                      texcoords=teapot.texcoords, face_v=teapot.face_v,
                      face_n=teapot.face_n, face_t=teapot.face_t,

@@ -36,23 +36,34 @@ from ..shading import textures as tex
 
 
 def _shadow_attenuation(scene: Scene, tracer, P, L, dist, time,
-                        cast_shadows: bool, fast: bool, segments: int):
+                        cast_shadows: bool, fast: bool, segments: int,
+                        active=None):
     """Shadow visibility in [0,1].
 
     fast: any-hit boolean (reference IS_SHADOW_RAY early-out,
     src/BVH.cpp:1340). full: march through transparent surfaces multiplying
     each front-facing hit's refract_amt (src/PointLight.cpp:49-70).
+
+    active (bool (R,) or None): rays whose shading term will be masked out
+    anyway (non-diffuse-branch lanes) skip the shadow trace — their tmax
+    goes negative, which every tracer culls instantly and the Pallas
+    kernels use to skip whole dead blocks.
     """
     R = P.shape[0]
     if not cast_shadows:
         return jnp.ones(R, dtype=P.dtype)
     if fast:
-        hit = tracer(P, L, time, EPSILON, dist, True)
+        dist_eff = dist if active is None else \
+            jnp.where(active, jnp.broadcast_to(jnp.asarray(dist, P.dtype),
+                                               (R,)), -1.0)
+        hit = tracer(P, L, time, EPSILON, dist_eff, True)
         return jnp.where(hit.valid, 0.0, 1.0)
     # transparent-shadow march, fixed max segments
     def body(carry, _):
         o, atten, traversed, live = carry
-        hit = tracer(o, L, time, EPSILON, MIRO_TMAX, False)
+        tmax_seg = jnp.where(live, jnp.float32(MIRO_TMAX),
+                             jnp.float32(-1.0))
+        hit = tracer(o, L, time, EPSILON, tmax_seg, False)
         t, a, b = hit.t, hit.a, hit.b
         seg_live = live & hit.valid & (traversed + t < dist)
         # front-facing (vs -L) hits attenuate by the material's refract amount
@@ -72,7 +83,8 @@ def _shadow_attenuation(scene: Scene, tracer, P, L, dist, time,
         return (o, atten, traversed, live), None
 
     zero = jnp.zeros_like(P[:, 0])
-    init = (P, 1.0 + zero, zero, zero < 1.0)
+    live0 = (zero < 1.0) if active is None else (active & (zero < 1.0))
+    init = (P, 1.0 + zero, zero, live0)
     (_, atten, _, _), _ = jax.lax.scan(body, init, None, length=segments)
     return atten
 
@@ -87,7 +99,8 @@ def _spec_pow(spec, spec_exp):
 
 
 def sample_point_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time,
-                        segments: int = 4, want_back: bool = False):
+                        segments: int = 4, want_back: bool = False,
+                        active=None):
     """Sum over all point lights -> (irradiance (R,3), spec (R,3), back (R,3)).
 
     Mirrors src/PointLight.cpp:8-82: inverse-square falloff, N.L gating and
@@ -112,7 +125,7 @@ def sample_point_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time,
         ndl = vm.dot(N, Lhat)
         atten0 = _shadow_attenuation(
             scene, tracer, P, Lhat, dist, time,
-            pl.cast_shadows[i], pl.fast_shadows[i], segments)
+            pl.cast_shadows[i], pl.fast_shadows[i], segments, active)
         atten = jnp.where(ndl > 0.0, atten0 * ndl, 0.0)
         E_base = (pl.power[i] * pl.color[i])[None, :] * (INV_4PI / d2)[:, None]
         E = E_base * atten[:, None]
@@ -139,7 +152,7 @@ def _rect_area_power(v1, v2, v3, power):
 
 def sample_rect_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
                        num_samples: int, segments: int = 4,
-                       want_back: bool = False):
+                       want_back: bool = False, active=None):
     """Sum over all rectangle lights -> (irradiance, spec, back).
 
     spec = sum_i E_i_mean * pow(spec_i_mean, specExp): the reference averages
@@ -173,7 +186,7 @@ def sample_rect_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
             sh_dist = dist - EPSILON if rl.fast_shadows[i] else dist
             atten0 = _shadow_attenuation(
                 scene, tracer, P, Lhat, sh_dist, time,
-                rl.cast_shadows[i], rl.fast_shadows[i], segments)
+                rl.cast_shadows[i], rl.fast_shadows[i], segments, active)
             atten = jnp.where(ndl_raw > EPSILON, atten0, 0.0)
             # NOTE: the reference applies no cosine term for rect lights
             # (src/RectangleLight.cpp:124-131); we match it.
@@ -208,7 +221,7 @@ def _sample_cdf(cdf, u):
 
 def sample_dome_light(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
                       num_samples: int, segments: int = 4,
-                      want_back: bool = False):
+                      want_back: bool = False, active=None):
     """HDR dome importance sampling -> (irradiance, spec, back).
 
     Mirrors src/DomeLight.cpp:80-161: sample u from the marginal CDF, v from
@@ -246,7 +259,7 @@ def sample_dome_light(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
         radiance = tex.env_lookup(scene.textures, dome.tex, direction)
         atten0 = _shadow_attenuation(
             scene, tracer, P, direction, MIRO_TMAX, time,
-            dome.cast_shadows, dome.fast_shadows, segments)
+            dome.cast_shadows, dome.fast_shadows, segments, active)
         atten = jnp.where(ndl >= 0.0, atten0, 0.0)
         E = dome.gain * radiance / jnp.maximum(pdf, 1e-20)[:, None]
         acc = acc + E * atten[:, None]
@@ -260,7 +273,8 @@ def sample_dome_light(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
 
 
 def sample_all_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
-                      secondary: bool, settings, want_back: bool = False):
+                      secondary: bool, settings, want_back: bool = False,
+                      active=None):
     """The reference per-hit light loop (src/Blinn.cpp:213-221).
 
     secondary=True forces 1 sample per area light (src/DomeLight.cpp:89).
@@ -278,7 +292,7 @@ def sample_all_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
     segs = settings.shadow_segments
     if scene.point_lights.position.shape[0] > 0:
         p, s, b = sample_point_lights(scene, tracer, P, N, rvec, spec_exp,
-                                      time, segs, want_back)
+                                      time, segs, want_back, active)
         total += p
         spec += s
         back += b
@@ -286,7 +300,7 @@ def sample_all_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
         ns = 1 if secondary else scene.rect_lights.num_samples
         key, sub = jax.random.split(key)
         p, s, b = sample_rect_lights(scene, tracer, P, N, rvec, spec_exp,
-                                     time, sub, ns, segs, want_back)
+                                     time, sub, ns, segs, want_back, active)
         total += p
         spec += s
         back += b
@@ -294,7 +308,7 @@ def sample_all_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
         ns = 1 if secondary else scene.dome.num_samples
         key, sub = jax.random.split(key)
         p, s, b = sample_dome_light(scene, tracer, P, N, rvec, spec_exp,
-                                    time, sub, ns, segs, want_back)
+                                    time, sub, ns, segs, want_back, active)
         total += p
         spec += s
         back += b

@@ -46,6 +46,104 @@ def test_edge_table_adjacency():
     assert (np.asarray(et.fid)[:, 1] == -1).all()
 
 
+def _blocker_scene(dx=0.0):
+    """Blocker triangle 1.5 above a bright ground plane, point light above:
+    the blocker is OUT OF FRAME — only its hard shadow is visible, so the
+    loss derivative w.r.t. blocker translation is purely the shadow
+    boundary term."""
+    from raytracer_tpu.geometry import shapes
+    b = SceneBuilder()
+    lam = b.add_lambert(kd=(0.9, 0.9, 0.9))
+    b.add_mesh(shapes.quad((-4, 0, 4), (4, 0, 4), (4, 0, -4), (-4, 0, -4),
+                           with_uv=False), lam)
+    blk = b.add_lambert(kd=(0.4, 0.2, 0.2))
+    b.add_mesh(make_single_triangle((-0.7 + dx, 1.5, -0.5),
+                                    (0.7 + dx, 1.5, -0.5),
+                                    (dx, 1.5, 0.7), n=(0, 1, 0)), blk)
+    b.add_point_light((0.0, 4.0, 0.0), 250.0, cast_shadows=True,
+                      fast_shadows=True)
+    b.set_bg_color((0, 0, 0))
+    scene = b.build(bvh=False)
+    cam = Camera.make(eye=(0.0, 1.2, 3.2), look_at=(0.0, 0.0, 0.0), fov=40.0)
+    st = RenderSettings(width=SIZE, height=SIZE, path_trace=False,
+                        max_wavefront_steps=2, ray_tile=SIZE * SIZE)
+    return scene, cam, st
+
+
+def test_shadow_edge_grad_matches_fd():
+    """Hard shadow boundary (secondary visibility): the primary-edge term
+    is blind (the blocker is out of frame); the shadow-edge term must
+    reproduce the finite difference of the MSE loss w.r.t. blocker
+    translation. Calibrated: fd = -0.358 +- 0.02 (3 keys), shadow
+    estimator = -0.31 (8k samples), primary-only = 0."""
+    key = jax.random.PRNGKey(0)
+    scene, cam, st = _blocker_scene()
+    params = sharding.get_params(scene)
+    target = renderer.render(_blocker_scene(0.25)[0], cam, st,
+                             jax.random.PRNGKey(42), spp=64)
+
+    def loss_at(dx, k):
+        img = renderer.render(_blocker_scene(dx)[0], cam, st, k, spp=64)
+        return float(jnp.sum((img - target) ** 2) / (SIZE * SIZE * 3))
+
+    eps = 2e-2
+    fds = [(loss_at(eps, jax.random.PRNGKey(k))
+            - loss_at(-eps, jax.random.PRNGKey(k))) / (2 * eps)
+           for k in range(2)]
+    fd = float(np.mean(fds))
+
+    _, g_noshadow = ed.loss_and_grads_with_edges(
+        params, scene, cam, st, target, key, spp=8, edge_samples=8192,
+        shadow_edges=False)
+    _, g_shadow = ed.loss_and_grads_with_edges(
+        params, scene, cam, st, target, key, spp=8, edge_samples=16384,
+        shadow_edges=True)
+    # blocker vertices are rows 4..6 (4 quad verts first)
+    g_ns = float(jnp.sum(g_noshadow['vertices'][4:, 0]))
+    g_sh = float(jnp.sum(g_shadow['vertices'][4:, 0]))
+
+    assert np.isfinite(fd) and abs(fd) > 0.1, fd
+    assert abs(g_ns) < 0.15 * abs(fd), (
+        f'primary-only grad {g_ns} should be blind to the shadow (fd {fd})')
+    assert np.sign(g_sh) == np.sign(fd), (g_sh, fd)
+    np.testing.assert_allclose(g_sh, fd, rtol=0.3)
+
+
+def test_shadow_fit_converges():
+    """End-to-end inverse rendering through the shadow: optimize the
+    blocker's vertices to match a target whose shadow is shifted. The
+    interior gradient alone cannot move the blocker at all (it is out of
+    frame); convergence proves the boundary term drives the fit."""
+    import optax
+    key = jax.random.PRNGKey(1)
+    scene, cam, st = _blocker_scene()
+    params = sharding.get_params(scene)
+    target = renderer.render(_blocker_scene(0.25)[0], cam, st,
+                             jax.random.PRNGKey(42), spp=32)
+
+    optimizer = optax.multi_transform(
+        {'fit': optax.adam(3e-2), 'freeze': optax.set_to_zero()},
+        {k: ('fit' if k == 'vertices' else 'freeze') for k in params})
+    # freeze the ground plane rows too: mask via per-parameter transform is
+    # coarse, so zero their grads by hand each step
+    opt_state = optimizer.init(params)
+    losses = []
+    for i in range(12):
+        loss, grads = ed.loss_and_grads_with_edges(
+            params, scene, cam, st, target, jax.random.fold_in(key, i),
+            spp=4, edge_samples=4096)
+        grads = dict(grads)
+        grads['vertices'] = grads['vertices'].at[:4].set(0.0)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], losses
+    # the blocker moved toward the +0.25 target
+    dx_moved = float(jnp.mean(params['vertices'][4:, 0])
+                     - jnp.mean(jnp.asarray(scene.geom.vertices)[4:, 0]))
+    assert dx_moved > 0.08, dx_moved
+
+
 def test_edge_grad_matches_fd_on_silhouette():
     """Fit a triangle to a target rendered with the triangle shifted +0.2 in
     x: at dx=0 the loss derivative is dominated by silhouette motion

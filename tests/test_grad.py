@@ -61,22 +61,56 @@ def test_grad_albedo():
 
 @pytest.mark.slow
 def test_grad_vertices():
-    """Shift all vertices along +y; interior shading changes smoothly."""
-    scene, cam, settings = registry.make('triangle_sphere', size=SIZE,
+    """Shift all vertices along +y and compare against a common-random-
+    numbers finite difference of the SAME jittered loss.
+
+    For a whole-scene translate of this fixture the boundary contributions
+    nearly cancel (silhouettes gain at the top what they lose at the
+    bottom; measured: interior 0.00256, CRN-FD 0.00258 +- 0.0005 over 3
+    keys, so the net boundary term is ~0): the interior gradient must hit
+    the FD TIGHTLY (this replaces the historical rtol=0.3 hedge).
+    Boundary-DOMINATED regimes are validated to rtol 0.25-0.3 in
+    tests/test_edge_grad.py (translating silhouette, shadow blocker,
+    convergence fit) — a near-zero sum of large canceling edge terms is
+    not resolvable by the MC boundary estimator at this resolution, so the
+    combined gradient is only sanity-bounded here."""
+    from raytracer_tpu.parallel import sharding
+    from raytracer_tpu.diff import edges as ed
+
+    size, spp = 32, 16
+    scene, cam, settings = registry.make('triangle_sphere', size=size,
                                          bvh=False)
-    loss = _loss_fn(scene, cam, settings)
+    settings = settings.replace(ray_tile=size * size)
+    params = sharding.get_params(scene)
+    key = jax.random.PRNGKey(3)
+    target = jnp.zeros((size, size, 3), jnp.float32)
 
-    def shift(s, dy):
-        v = s.geom.vertices + jnp.asarray([0.0, dy, 0.0])
-        v1 = s.geom.vertices_t1 + jnp.asarray([0.0, dy, 0.0])
-        return s.replace(geom=s.geom.replace(vertices=v, vertices_t1=v1))
+    def loss_dy(dy, k):
+        p = dict(params)
+        p['vertices'] = params['vertices'] + jnp.asarray([0.0, dy, 0.0])
+        l, _ = sharding.loss_and_grads_scanned(
+            p, scene, cam, settings, target, k, spp=spp, tile=size * size)
+        return float(l)
 
-    g = jax.grad(lambda dy: loss(shift(scene, dy)))(0.0)
-    fd = _fd(loss, scene, lambda s: 0.0, shift, eps=1e-3)
-    assert np.isfinite(g)
-    # visibility (edge) gradients are not yet reparameterized: compare only
-    # the smooth part, loosely
-    np.testing.assert_allclose(g, fd, rtol=0.3, atol=1e-3)
+    eps = 1e-2
+    fd = float(np.mean([(loss_dy(eps, jax.random.PRNGKey(k))
+                         - loss_dy(-eps, jax.random.PRNGKey(k))) / (2 * eps)
+                        for k in range(2)]))
+
+    _, g_int = sharding.loss_and_grads_scanned(
+        params, scene, cam, settings, target, key, spp=spp,
+        tile=size * size)
+    g_i = float(jnp.sum(g_int['vertices'][:, 1]))
+    assert np.isfinite(g_i) and np.isfinite(fd)
+    np.testing.assert_allclose(g_i, fd, rtol=0.15)
+
+    # combined gradient stays same-sign and bounded (see docstring)
+    _, grads = ed.loss_and_grads_with_edges(
+        params, scene, cam, settings, target, key, spp=spp,
+        edge_samples=8192)
+    g_c = float(jnp.sum(grads['vertices'][:, 1]))
+    assert np.isfinite(g_c) and np.sign(g_c) == np.sign(fd)
+    assert abs(g_c) < 10 * abs(fd)
 
 
 def test_grad_through_spp_render():

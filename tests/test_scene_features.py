@@ -23,6 +23,24 @@ def _render(scene, cam, settings, spp=1, key=0):
 
 
 @pytest.mark.slow
+def test_stone_ground_renders():
+    """Procedural Worley/Perlin StoneTexture baked onto the dome_teapot
+    ground (reference StoneTexture on live floors, src/main.cpp:18,
+    src/StoneTexture.cpp:10-109): the stone ground must render and differ
+    from the grass ground with otherwise identical sampling."""
+    kw = dict(size=24, dome_samples=1)
+    s1, cam, st = registry.make('dome_teapot', ground='stone', **kw)
+    s2, _, _ = registry.make('dome_teapot', ground='grass', **kw)
+    img1 = _render(s1, cam, st)
+    img2 = _render(s2, cam, st)
+    assert img1.mean() > 0.01
+    assert np.abs(img1 - img2).max() > 0.05
+    # stone is grayscale-ish grout/cell pattern: per-pixel luminance varies
+    lum = img1.mean(-1)
+    assert lum.std() > 0.02
+
+
+@pytest.mark.slow
 def test_alpha_cutout_active():
     """The leaf texture's alpha channel must punch holes: disabling the
     alpha map (tex_alpha=-1) changes the image (reference cutout re-test,
