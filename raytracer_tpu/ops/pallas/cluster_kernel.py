@@ -43,7 +43,12 @@ from ...core.vecmath import MIRO_TMAX
 from ..intersect import Hit
 
 BIG = np.float32(3e38)
-DEF_RB = 256
+# 32-ray blocks measured fastest on v5e (sponza_hd, 32k rays, fetch-timed):
+# rb=32 0.83/0.61 Mray/s coherent/incoherent vs rb=256 0.56/0.38 — the
+# near-ordered sweep retires one cluster per iteration for the WHOLE block,
+# so small blocks waste fewer MT lanes on rays that don't overlap the
+# chosen cluster; the dense cull cost is rb-invariant (R x M total)
+DEF_RB = 32
 
 
 def _kernel(bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref, tri_ref,

@@ -44,11 +44,11 @@ from ...core.vecmath import MIRO_TMAX
 from ..intersect import Hit
 
 BIG = np.float32(3e38)
-# 96-ray blocks: the persistent (RB, I) instance-key matrix (plus its
-# masked copy in the sweep) dominates scoped VMEM at forest-scale instance
-# counts; RB=256 blew the 16 MB scoped-vmem limit by 2.6 MB at I=1920 and
-# RB=128 by 194 KB once the all-dead-block skip added its default writes
-DEF_RB = 96
+# 32-ray blocks: small blocks waste fewer MT lanes per sweep iteration
+# (see cluster_kernel.DEF_RB) AND shrink the persistent (RB, I)
+# instance-key matrix that dominates scoped VMEM at forest-scale instance
+# counts (RB=256 blew the 16 MB limit by 2.6 MB at I=1920)
+DEF_RB = 32
 
 
 def _kernel(ibb_ref, iminv_ref, imeta_ref, pbb_ref, pmeta_ref,

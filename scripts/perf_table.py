@@ -1,10 +1,17 @@
-"""Tracer-backend perf table on the current jax backend (VERDICT item 2).
+"""Tracer-backend perf table on the current jax backend.
 
 Measures trace-only rays/s per intersector backend per scene and writes a
-markdown table to PERF.md. Run on the TPU (default env) — results feed the
-'auto' backend selection thresholds in render/integrator.trace_fn.
+markdown table to PERF_TABLE.md (PERF.md holds the curated analysis). Run
+on the TPU (default env) — results feed the 'auto' backend preference in
+render/integrator.trace_fn.
 
-Usage: python scripts/perf_table.py [--rays 8192] [--iters 20]
+Timing is FETCH-based (a scalar reduced from the hits is pulled to the
+host inside the timer): jax.block_until_ready through the axon TPU tunnel
+returns before remote execution completes, and repeated identical inputs
+are served from the relay's execution-result cache — both flaws shaped the
+round-3 numbers. Inputs are jittered per iteration.
+
+Usage: python scripts/perf_table.py [--rays 32768] [--iters 3]
 """
 from __future__ import annotations
 
@@ -17,9 +24,9 @@ sys.path.insert(0, '.')
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--rays', type=int, default=8192)
-    ap.add_argument('--iters', type=int, default=20)
-    ap.add_argument('--out', default='PERF.md')
+    ap.add_argument('--rays', type=int, default=32768)
+    ap.add_argument('--iters', type=int, default=3)
+    ap.add_argument('--out', default='PERF_TABLE.md')
     args = ap.parse_args()
 
     import jax
@@ -55,23 +62,25 @@ def main():
             try:
                 if mode == 'bvh':
                     from raytracer_tpu.ops import traverse
-                    f = jax.jit(lambda s, o, d: traverse.bvh_trace(
-                        s, o, d, 0.5, 1e-3, 1e12, False))
+                    f = jax.jit(lambda s, o, d: jnp.sum(traverse.bvh_trace(
+                        s, o, d, 0.5, 1e-3, 1e12, False).t))
                 elif mode == 'cluster':
                     from raytracer_tpu.ops import cluster_trace as ct
-                    f = jax.jit(lambda s, o, d: ct.cluster_trace(
-                        s, o, d, 0.5, 1e-3, 1e12, False))
+                    f = jax.jit(lambda s, o, d: jnp.sum(ct.cluster_trace(
+                        s, o, d, 0.5, 1e-3, 1e12, False).t))
                 else:
                     from raytracer_tpu.ops.pallas import cluster_kernel as ck
-                    f = jax.jit(lambda s, o, d: ck.pallas_cluster_trace(
-                        s, o, d, 0.5, 1e-3, 1e12, False))
-                hit = f(scene, o, d)
-                jax.block_until_ready(hit.t)
-                t0 = time.time()
-                for _ in range(args.iters):
-                    hit = f(scene, o, d)
-                jax.block_until_ready(hit.t)
-                dt = (time.time() - t0) / args.iters
+                    f = jax.jit(
+                        lambda s, o, d: jnp.sum(ck.pallas_cluster_trace(
+                            s, o, d, 0.5, 1e-3, 1e12, False).t))
+                float(f(scene, o, d))  # compile + warm
+                dts = []
+                for it in range(args.iters):
+                    oj = o + 1e-4 * (it + 1)  # defeat result memoization
+                    t0 = time.time()
+                    float(f(scene, oj, d))  # fetch-based completion
+                    dts.append(time.time() - t0)
+                dt = min(dts)
                 row[mode] = R / dt
                 print(f'{name} {mode}: {R / dt:,.0f} rays/s '
                       f'({dt * 1e3:.2f} ms)', flush=True)
