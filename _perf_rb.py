@@ -56,6 +56,6 @@ def bench(name, o, d, rb):
           f'({R/min(ts)/1e6:.2f} Mray/s)', flush=True)
 
 
-for rb in (16, 32, 64):
+for rb in (32, 64, 128):
     bench('coherent  ', o_c, d_c, rb)
     bench('incoherent', o_i, d_i, rb)

@@ -43,11 +43,11 @@ from ...core.vecmath import MIRO_TMAX
 from ..intersect import Hit
 
 BIG = np.float32(3e38)
-# 32-ray blocks measured fastest on v5e (sponza_hd, 32k rays, fetch-timed):
-# rb=32 0.83/0.61 Mray/s coherent/incoherent vs rb=256 0.56/0.38 — the
-# near-ordered sweep retires one cluster per iteration for the WHOLE block,
-# so small blocks waste fewer MT lanes on rays that don't overlap the
-# chosen cluster; the dense cull cost is rb-invariant (R x M total)
+# 32-ray blocks measured fastest on v5e (sponza_hd, 32k rays, fetch-timed,
+# KPOP=4): 0.90/0.75 Mray/s coherent/incoherent vs 0.56/0.38 at the old
+# rb=256/KPOP=1 — the near-ordered sweep retires clusters for the WHOLE
+# block, so small blocks waste fewer MT lanes on rays that don't overlap
+# the chosen cluster; the dense cull cost is rb-invariant (R x M total)
 DEF_RB = 32
 
 
@@ -125,13 +125,14 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
         key, best_t, best_tri, _, _ = s
         return jnp.any(viable(key, best_t, best_tri))
 
-    def body(s):
-        key, best_t, best_tri, best_a, best_b = s
-        mkey = jnp.where(viable(key, best_t, best_tri), key, BIG)
-        colmin = jnp.min(mkey, axis=0).reshape(1, M)
-        c = jnp.argmin(colmin, axis=1)[0]                  # scalar cluster id
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    KPOP = 4  # clusters retired per (RB, M) re-mask — amortizes the
+              # expensive per-iteration viability mask + column min over
+              # several cheap (1, M) queue pops + MT tests
 
-        # ---- MT: cluster c's (3, C) basis rows vs all RB rays
+    def mt_cluster(c, best):
+        """MT-test cluster c's (3, C) slab vs all RB rays, update bests."""
+        best_t, best_tri, best_a, best_b = best
         p0 = p0_ref[pl.ds(3 * c, 3), :]                    # (3, C)
         e1 = e1_ref[pl.ds(3 * c, 3), :]
         e2 = e2_ref[pl.ds(3 * c, 3), :]
@@ -193,8 +194,24 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
         best_b = pick(b, best_b)
         tidj = jnp.sum(jnp.where(sel, tid, 0), axis=1, keepdims=True)
         best_tri = jnp.where(got, tidj, best_tri)
+        return (best_t, best_tri, best_a, best_b)
 
-        key = jnp.where(lane_m == c, BIG, key)             # retire cluster
+    def body(s):
+        key, best_t, best_tri, best_a, best_b = s
+        mkey = jnp.where(viable(key, best_t, best_tri), key, BIG)
+        colmin = jnp.min(mkey, axis=0).reshape(1, M)
+        retired = jnp.zeros((1, M), jnp.bool_)
+        best = (best_t, best_tri, best_a, best_b)
+        for _ in range(KPOP):
+            c = jnp.argmin(colmin, axis=1)[0]              # scalar cluster id
+            # later pops may already be non-viable (BIG) — the MT's own
+            # t/best_t masks keep them harmless, and the pop is cheap
+            eq = lane1 == c
+            retired = retired | (eq & (colmin < BIG))
+            colmin = jnp.where(eq, BIG, colmin)
+            best = mt_cluster(c, best)
+        best_t, best_tri, best_a, best_b = best
+        key = jnp.where(retired, BIG, key)                 # retire clusters
         return (key, best_t, best_tri, best_a, best_b)
 
     key, best_t, best_tri, best_a, best_b = jax.lax.while_loop(
