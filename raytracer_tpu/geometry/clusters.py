@@ -80,6 +80,37 @@ def build_clusters(geom: T.Geometry, cluster_size: int = 128,
         tri_ids = np.arange(geom.face_v.shape[0], dtype=np.int64)
     else:
         tri_ids = np.asarray(tri_ids, np.int64)
+
+    # native fast path: binned-SAH + SoA pack in one C++ call
+    # (native/rt_native.cpp rt_build_clusters); numpy below is the fallback
+    from .. import native as native_mod
+    has_mb_sub = bool(np.any(np.asarray(geom.face_mb)[tri_ids]))
+    nat = native_mod.build_clusters_native(
+        np.asarray(geom.vertices, np.float32),
+        np.asarray(geom.vertices_t1, np.float32),
+        np.asarray(geom.face_v, np.int32), tri_ids, C, has_mb_sub)
+    if nat is not None:
+        nb_min, nb_max, np0, ne1, ne2, nq0, nq1, nq2, ntri = nat
+        M = max(len(ntri), 1)
+        Mp = -(-M // pad_clusters_to) * pad_clusters_to
+        pad = Mp - len(ntri)
+        if pad:
+            def padrow(x, fill):
+                w = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x, w, constant_values=fill)
+            # padding rows: far-away POINT boxes + degenerate triangles
+            nb_min = padrow(nb_min, np.float32(3e37))
+            nb_max = padrow(nb_max, np.float32(3e37))
+            np0, ne1, ne2 = (padrow(x, 0.0) for x in (np0, ne1, ne2))
+            if has_mb_sub:
+                nq0, nq1, nq2 = (padrow(x, 0.0) for x in (nq0, nq1, nq2))
+            else:
+                nq0, nq1, nq2 = np0, ne1, ne2
+            ntri = padrow(ntri, -1)
+        return Clusters(bb_min=nb_min, bb_max=nb_max, p0=np0, e1=ne1,
+                        e2=ne2, p0_t1=nq0, e1_t1=nq1, e2_t1=nq2,
+                        tri=ntri, cluster_size=C)
+
     bmin, bmax = triangle_aabbs(geom, tri_ids)
     tree, order = _build_binary(bmin, bmax, leaf_size=C)  # subset positions
 

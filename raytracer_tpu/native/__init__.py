@@ -61,6 +61,17 @@ def get_lib():
             fp(np.int32, flags='C'), fp(np.int32, flags='C'),
             fp(np.int64, flags='C'), c_i64,
             ctypes.POINTER(c_i32)]
+        lib.rt_build_clusters.restype = c_i64
+        lib.rt_build_clusters.argtypes = [
+            fp(np.float32, flags='C'), fp(np.float32, flags='C'),
+            fp(np.int32, flags='C'), fp(np.int64, flags='C'),
+            c_i64, c_i32, c_i32, c_i64,
+            fp(np.float32, flags='C'), fp(np.float32, flags='C'),
+            fp(np.float32, flags='C'), fp(np.float32, flags='C'),
+            fp(np.float32, flags='C'),
+            fp(np.float32, flags='C'), fp(np.float32, flags='C'),
+            fp(np.float32, flags='C'),
+            fp(np.int32, flags='C')]
         lib.rt_obj_count.restype = ctypes.c_int
         lib.rt_obj_count.argtypes = [ctypes.c_char_p, fp(np.int64, flags='C')]
         lib.rt_obj_fill.restype = ctypes.c_int
@@ -100,6 +111,57 @@ def build_bvh_native(bmin: np.ndarray, bmax: np.ndarray, leaf_size: int,
         return None
     return (node_min[:n_nodes], node_max[:n_nodes], child[:n_nodes],
             count[:n_nodes], order, int(depth.value))
+
+
+def build_clusters_native(verts: np.ndarray, verts_t1: np.ndarray,
+                          faces: np.ndarray, tri_ids: np.ndarray,
+                          cluster_size: int, has_mb: bool):
+    """Native cluster-table build (binned SAH, leaf=C, SoA MT basis pack).
+
+    Returns (bb_min, bb_max, p0, e1, e2, q0, q1, q2, tri) with M exact
+    cluster rows (q* are the p* arrays themselves when not has_mb), or
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(tri_ids)
+    C = cluster_size
+    va = np.ascontiguousarray(verts, np.float32).reshape(-1)
+    vb = np.ascontiguousarray(verts_t1, np.float32).reshape(-1)
+    fa = np.ascontiguousarray(faces, np.int32).reshape(-1)
+    ta = np.ascontiguousarray(tri_ids, np.int64)
+    # SAH leaves average well above C/4 tris; worst case (degenerate
+    # splits) is n singleton leaves — grow on overflow instead of
+    # allocating for it up front
+    cap = max(8 * ((n + C - 1) // C) + 8, 8)
+    while True:
+        bb_min = np.empty((cap, 3), np.float32)
+        bb_max = np.empty((cap, 3), np.float32)
+        p0 = np.empty((cap, 3, C), np.float32)
+        e1 = np.empty((cap, 3, C), np.float32)
+        e2 = np.empty((cap, 3, C), np.float32)
+        if has_mb:
+            q0 = np.empty((cap, 3, C), np.float32)
+            q1 = np.empty((cap, 3, C), np.float32)
+            q2 = np.empty((cap, 3, C), np.float32)
+        else:  # never written (has_mb=0); 1-row dummies keep the ABI simple
+            q0 = q1 = q2 = np.empty((1, 3, C), np.float32)
+        tri = np.empty((cap, C), np.int32)
+        m = lib.rt_build_clusters(
+            va, vb, fa, ta, n, C, int(has_mb), cap,
+            bb_min.reshape(-1), bb_max.reshape(-1),
+            p0.reshape(-1), e1.reshape(-1), e2.reshape(-1),
+            q0.reshape(-1), q1.reshape(-1), q2.reshape(-1),
+            tri.reshape(-1))
+        if m >= 0:
+            break
+        if cap >= n + 8:
+            return None
+        cap = min(cap * 4, n + 8)
+    out = (bb_min[:m], bb_max[:m], p0[:m], e1[:m], e2[:m])
+    if has_mb:
+        return out + (q0[:m], q1[:m], q2[:m], tri[:m])
+    return out + (p0[:m], e1[:m], e2[:m], tri[:m])
 
 
 def parse_obj_native(path: str):

@@ -372,4 +372,97 @@ int rt_obj_fill(const char* path, float* v, float* vt, float* vn,
     return 0;
 }
 
+// Build the block-coherent cluster table (geometry/clusters.py) natively:
+// binned-SAH binary build with leaf size C over a triangle SUBSET, then the
+// padded SoA Moller-Trumbore basis packed per cluster in one pass. The
+// TPU analogue of the reference's TriCache4 bundle build
+// (src/BVH.cpp:577-623), widened 4 -> C lanes.
+//   verts/verts_t1: (V, 3) f32 (equal pointers for static geometry)
+//   faces: (T, 3) i32; tri_ids: (N,) i64 global ids of the subset
+//   outputs sized for max_clusters rows: bb_min/bb_max (M, 3),
+//   p0/e1/e2[/q0/q1/q2 when has_mb] (M, 3, C), tri_out (M, C)
+// Returns the cluster count M, or -1 on capacity overflow.
+int64_t rt_build_clusters(const float* verts, const float* verts_t1,
+                          const int32_t* faces, const int64_t* tri_ids,
+                          int64_t n, int32_t C, int32_t has_mb,
+                          int64_t max_clusters,
+                          float* bb_min, float* bb_max,
+                          float* p0, float* e1, float* e2,
+                          float* q0, float* q1, float* q2,
+                          int32_t* tri_out) {
+    if (n <= 0) return 0;
+    // per-subset-triangle AABBs (union of both motion poses, reference
+    // MBObject::getAABB)
+    std::vector<float> bmin(3 * n), bmax(3 * n);
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t t = tri_ids[k];
+        V3 lo(FLT_MAX, FLT_MAX, FLT_MAX), hi(-FLT_MAX, -FLT_MAX, -FLT_MAX);
+        for (int c = 0; c < 3; ++c) {
+            int32_t vi = faces[3 * t + c];
+            for (const float* vv : {verts, verts_t1}) {
+                V3 p(vv[3 * vi], vv[3 * vi + 1], vv[3 * vi + 2]);
+                lo = vmin(lo, p);
+                hi = vmax(hi, p);
+            }
+        }
+        bmin[3 * k] = lo.x; bmin[3 * k + 1] = lo.y; bmin[3 * k + 2] = lo.z;
+        bmax[3 * k] = hi.x; bmax[3 * k + 1] = hi.y; bmax[3 * k + 2] = hi.z;
+    }
+
+    Builder bld;
+    bld.bmin = bmin.data();
+    bld.bmax = bmax.data();
+    bld.leaf_size = C;
+    bld.cent.resize(n);
+    bld.order.resize(n);
+    for (int64_t i = 0; i < n; ++i) {
+        bld.cent[i] = V3(0.5f * (bmin[3 * i] + bmax[3 * i]),
+                         0.5f * (bmin[3 * i + 1] + bmax[3 * i + 1]),
+                         0.5f * (bmin[3 * i + 2] + bmax[3 * i + 2]));
+        bld.order[i] = i;
+    }
+    bld.nodes.reserve(2 * n + 2);
+    bld.build(0, n);
+
+    int64_t m = 0;
+    for (int64_t ni = 0; ni < (int64_t)bld.nodes.size(); ++ni) {
+        const BinNode& nd = bld.nodes[ni];
+        if (nd.left >= 0) continue;  // internal
+        if (m >= max_clusters) return -1;
+        // cluster AABB
+        bb_min[3 * m] = nd.lo.x; bb_min[3 * m + 1] = nd.lo.y;
+        bb_min[3 * m + 2] = nd.lo.z;
+        bb_max[3 * m] = nd.hi.x; bb_max[3 * m + 1] = nd.hi.y;
+        bb_max[3 * m + 2] = nd.hi.z;
+        // lanes: tri ids + MT basis in SoA [component][lane]
+        for (int32_t lane = 0; lane < C; ++lane) {
+            bool pad = lane >= nd.count;
+            int64_t gid = pad ? -1 : tri_ids[bld.order[nd.start + lane]];
+            tri_out[m * C + lane] = (int32_t)gid;
+            for (int comp = 0; comp < 3; ++comp) {
+                int64_t at = (m * 3 + comp) * C + lane;
+                if (pad) {
+                    p0[at] = e1[at] = e2[at] = 0.f;  // det==0: rejected
+                    if (has_mb) q0[at] = q1[at] = q2[at] = 0.f;
+                    continue;
+                }
+                int32_t a = faces[3 * gid], b = faces[3 * gid + 1],
+                        c = faces[3 * gid + 2];
+                float pa = verts[3 * a + comp];
+                p0[at] = pa;
+                e1[at] = verts[3 * b + comp] - pa;
+                e2[at] = verts[3 * c + comp] - pa;
+                if (has_mb) {
+                    float qa = verts_t1[3 * a + comp];
+                    q0[at] = qa;
+                    q1[at] = verts_t1[3 * b + comp] - qa;
+                    q2[at] = verts_t1[3 * c + comp] - qa;
+                }
+            }
+        }
+        ++m;
+    }
+    return m;
+}
+
 }  // extern "C"

@@ -138,3 +138,40 @@ def test_alpha_aware_pallas_matches_brute():
     np.testing.assert_array_equal(np.asarray(hit_p.tri), np.asarray(hit_b.tri))
     np.testing.assert_allclose(np.asarray(hit_p.t), np.asarray(hit_b.t),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_native_cluster_build_valid():
+    """Native cluster-table builder (rt_native.cpp rt_build_clusters) must
+    emit a complete, geometry-consistent table: every subset triangle
+    appears exactly once, each lane's MT basis matches the vertex pool, and
+    cluster AABBs contain their triangles (incl. the motion-blur union)."""
+    from raytracer_tpu import native
+    from raytracer_tpu.geometry import clusters as cl_mod
+
+    if native.get_lib() is None:
+        pytest.skip('native library unavailable')
+    scene, cam, st = registry.make('mb_bullet', size=8, bvh=True)
+    cl = scene.clusters
+    tri = np.asarray(cl.tri)
+    real = tri[tri >= 0]
+    assert len(real) == scene.num_tris
+    assert len(np.unique(real)) == scene.num_tris
+    v = np.asarray(scene.geom.vertices)
+    v1 = np.asarray(scene.geom.vertices_t1)
+    f = np.asarray(scene.geom.face_v)
+    m, lane = np.nonzero(tri >= 0)
+    ids = tri[m, lane]
+    np.testing.assert_array_equal(np.asarray(cl.p0)[m, :, lane],
+                                  v[f[ids][:, 0]])
+    np.testing.assert_array_equal(np.asarray(cl.e1)[m, :, lane],
+                                  v[f[ids][:, 1]] - v[f[ids][:, 0]])
+    np.testing.assert_array_equal(np.asarray(cl.p0_t1)[m, :, lane],
+                                  v1[f[ids][:, 0]])
+    pts = np.concatenate([v[f[ids]], v1[f[ids]]], axis=1)
+    assert (pts.min(1) >= np.asarray(cl.bb_min)[m] - 1e-4).all()
+    assert (pts.max(1) <= np.asarray(cl.bb_max)[m] + 1e-4).all()
+    # tracing through the native table == brute force (MB lerp included)
+    o, d, time = _random_rays(scene, 128, 21)
+    hb = intersect.brute_force_trace(scene, o, d, time, 1e-3, 1e12, False)
+    hc = cluster_trace.cluster_trace(scene, o, d, time, 1e-3, 1e12, False)
+    np.testing.assert_array_equal(np.asarray(hb.tri), np.asarray(hc.tri))
