@@ -255,6 +255,17 @@ class RenderSettings:
     # max transparent-shadow march segments for "full" shadows
     # (reference loops until opaque or past light, src/PointLight.cpp:49-70)
     shadow_segments: int = struct.field(pytree_node=False, default=4)
+    # per-light adaptive sample cutoff (reference m_noiseThreshold,
+    # src/RectangleLight.cpp:117-124, src/DomeLight.cpp:147-151): a ray
+    # stops drawing samples from an area/dome light once the light's raw
+    # per-sample irradiance scaled by 1/samples_done averages below this.
+    # 0.0 = off (every ray draws the full num_samples).
+    light_noise_cutoff: float = struct.field(pytree_node=False, default=0.0)
+    # secondary (non-primary) rays draw 1 sample per area/dome light
+    # (reference isSecondary rule, src/DomeLight.cpp:89) — saves most of
+    # the secondary-bounce shadow rays on multi-sample lights
+    light_secondary_single: bool = struct.field(pytree_node=False,
+                                                default=True)
     # intersector: 'auto' | 'brute' | 'bvh'
     intersector: str = struct.field(pytree_node=False, default='auto')
     # number of rays processed per device-shard tile (padding granularity)

@@ -474,17 +474,16 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         L = L + jnp.where(found[:, None], tp * (le + ka * rr_recip[:, None]), 0.0)
 
         # ---------------------------------------------- diffuse branch: NEE
-        # The reference drops to 1 sample per area light on secondary rays
-        # (isSecondary, src/DomeLight.cpp:89). Batched wavefronts mix ray
-        # kinds, so we always use the configured counts — identical
-        # expectation, equal-or-lower variance.
+        # secondary (non-primary) lanes draw 1 sample per area/dome light
+        # (reference isSecondary rule, src/DomeLight.cpp:89), realized as a
+        # per-lane mask inside the samplers
         # shadow rays only for lanes whose terms survive (diffuse branch of
         # a real hit) — the rest trace with tmax<0 (instant cull / whole
         # dead Pallas blocks skipped)
         lpw, specw3, lp_back = lt.sample_all_lights(
             scene, tracer, P, the_n, rvec, spec_exp, time, k_l1, False,
             settings, want_back=scene.has_translucency,
-            active=diffuse_branch)
+            active=diffuse_branch, secondary_mask=(kind != KIND_PRIMARY))
 
         w_d = (tp * rr_recip[:, None]) * diffuse_branch[:, None]
         # specw3 is already sum_i E_i*pow(spec_i, exp) (per-light pow,

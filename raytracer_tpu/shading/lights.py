@@ -9,8 +9,6 @@ wavefront:
     importance sampling (src/DomeLight.h:10-42)
 
 Known deliberate deviations from the reference, kept for batching/sanity:
-  - adaptive per-light sample loops with noise cutoffs become fixed
-    num_samples means (the cutoff is a perf heuristic);
   - dome samples below the horizon contribute zero instead of being retried;
   - the dome specular dot is clamped at 0 (the reference can feed a negative
     base into powf -> NaN);
@@ -20,6 +18,13 @@ Known deliberate deviations from the reference, kept for batching/sanity:
     (src/Blinn.cpp:231). Identical expectation (the correlation is
     bias-free), and it halves the shadow-ray count on translucent scenes —
     shadow rays are the dominant per-bounce cost.
+
+The reference's per-light ADAPTIVE sample loops are mirrored per ray:
+noise-threshold early cutoff (src/RectangleLight.cpp:117-124,
+src/DomeLight.cpp:147-151 — RenderSettings.light_noise_cutoff, off by
+default) and the 1-sample-on-secondary rule (src/DomeLight.cpp:89 —
+RenderSettings.light_secondary_single, on by default) as masked lanes whose
+per-ray sample counts divide the mean.
 
 Every sampler takes `tracer(o, d, time, tmin, tmax, any_hit) -> Hit` so the
 same code runs on the brute-force or BVH backend.
@@ -152,12 +157,19 @@ def _rect_area_power(v1, v2, v3, power):
 
 def sample_rect_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
                        num_samples: int, segments: int = 4,
-                       want_back: bool = False, active=None):
+                       want_back: bool = False, active=None,
+                       noise_cutoff: float = 0.0, single_mask=None):
     """Sum over all rectangle lights -> (irradiance, spec, back).
 
     spec = sum_i E_i_mean * pow(spec_i_mean, specExp): the reference averages
     the spec dot over the light's samples and applies pow once per light
     (src/RectangleLight.cpp:135-136, src/Blinn.cpp:217).
+
+    Per-ray adaptive sampling mirrors the reference's do/while loop
+    (src/RectangleLight.cpp:53-133): a ray stops sampling this light when
+    (E * 1/samples_done).average() < noise_cutoff, and rays in single_mask
+    (secondary) stop after 1 sample (src/DomeLight.cpp:89 rule); its mean
+    divides by the per-ray samples actually drawn.
     """
     R = P.shape[0]
     power_sum = jnp.zeros((R, 3), P.dtype)
@@ -172,7 +184,10 @@ def sample_rect_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
         acc = jnp.zeros((R, 3), P.dtype)
         acc_s = jnp.zeros(R, P.dtype)
         acc_b = jnp.zeros((R, 3), P.dtype)
+        done = jnp.zeros(R, bool)
+        n_done = jnp.zeros(R, P.dtype)
         for s in range(num_samples):
+            live = ~done
             e1 = e[s, :, 0]
             e2 = jnp.minimum(e[s, :, 1], 0.99)  # src/RectangleLight.cpp:58
             pt = rl.v1[i] + e1[:, None] * (rl.v2[i] - rl.v1[i]) \
@@ -184,23 +199,34 @@ def sample_rect_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
             ndl_raw = vm.dot(N, L)
             # fast shadows test against dist - eps (src/RectangleLight.cpp:84)
             sh_dist = dist - EPSILON if rl.fast_shadows[i] else dist
+            act = live if active is None else (active & live)
             atten0 = _shadow_attenuation(
                 scene, tracer, P, Lhat, sh_dist, time,
-                rl.cast_shadows[i], rl.fast_shadows[i], segments, active)
+                rl.cast_shadows[i], rl.fast_shadows[i], segments, act)
             atten = jnp.where(ndl_raw > EPSILON, atten0, 0.0)
             # NOTE: the reference applies no cosine term for rect lights
             # (src/RectangleLight.cpp:124-131); we match it.
             E = (p_eff * rl.color[i])[None, :] * (INV_4PI / d2)[:, None]
-            acc = acc + E * atten[:, None]
-            acc_s = acc_s + jnp.maximum(0.0, vm.dot(rvec, Lhat)) * atten
+            acc = acc + jnp.where(live[:, None], E * atten[:, None], 0.0)
+            acc_s = acc_s + jnp.where(
+                live, jnp.maximum(0.0, vm.dot(rvec, Lhat)) * atten, 0.0)
             if want_back:
                 atten_b = jnp.where(-ndl_raw > EPSILON, atten0, 0.0)
-                acc_b = acc_b + E * atten_b[:, None]
-        E_mean = acc / num_samples
+                acc_b = acc_b + jnp.where(live[:, None],
+                                          E * atten_b[:, None], 0.0)
+            n_done = n_done + live
+            if s + 1 < num_samples:
+                if noise_cutoff > 0.0:
+                    cut = jnp.mean(E, axis=-1) / n_done < noise_cutoff
+                    done = done | (live & cut)
+                if single_mask is not None:
+                    done = done | single_mask
+        recip = 1.0 / jnp.maximum(n_done, 1.0)
+        E_mean = acc * recip[:, None]
         power_sum = power_sum + E_mean
         spec_sum = spec_sum \
-            + E_mean * _spec_pow(acc_s / num_samples, spec_exp)[:, None]
-        back_sum = back_sum + acc_b / num_samples
+            + E_mean * _spec_pow(acc_s * recip, spec_exp)[:, None]
+        back_sum = back_sum + acc_b * recip[:, None]
     return power_sum, spec_sum, back_sum
 
 
@@ -221,7 +247,8 @@ def _sample_cdf(cdf, u):
 
 def sample_dome_light(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
                       num_samples: int, segments: int = 4,
-                      want_back: bool = False, active=None):
+                      want_back: bool = False, active=None,
+                      noise_cutoff: float = 0.0, single_mask=None):
     """HDR dome importance sampling -> (irradiance, spec, back).
 
     Mirrors src/DomeLight.cpp:80-161: sample u from the marginal CDF, v from
@@ -241,7 +268,10 @@ def sample_dome_light(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
     acc = jnp.zeros((R, 3), P.dtype)
     acc_s = jnp.zeros(R, P.dtype)
     acc_b = jnp.zeros((R, 3), P.dtype)
+    done = jnp.zeros(R, bool)
+    n_done = jnp.zeros(R, P.dtype)
     for s in range(num_samples):
+        live = ~done
         fu, uo, _ = _sample_cdf(dome.u_cdf, e[s, :, 0])
         pdf_u = dome.u_func[uo] / dome.u_func_int
         ucol = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
@@ -257,24 +287,35 @@ def sample_dome_light(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
         ndl = vm.dot(N, direction)
         pdf = (pdf_u * pdf_v) / (vm.TWO_PI_SQ * jnp.maximum(sin_t, 1e-8))
         radiance = tex.env_lookup(scene.textures, dome.tex, direction)
+        act = live if active is None else (active & live)
         atten0 = _shadow_attenuation(
             scene, tracer, P, direction, MIRO_TMAX, time,
-            dome.cast_shadows, dome.fast_shadows, segments, active)
+            dome.cast_shadows, dome.fast_shadows, segments, act)
         atten = jnp.where(ndl >= 0.0, atten0, 0.0)
         E = dome.gain * radiance / jnp.maximum(pdf, 1e-20)[:, None]
-        acc = acc + E * atten[:, None]
-        acc_s = acc_s + jnp.maximum(0.0, vm.dot(rvec, direction)) * atten
+        acc = acc + jnp.where(live[:, None], E * atten[:, None], 0.0)
+        acc_s = acc_s + jnp.where(
+            live, jnp.maximum(0.0, vm.dot(rvec, direction)) * atten, 0.0)
         if want_back:
             atten_b = jnp.where(-ndl >= 0.0, atten0, 0.0)
-            acc_b = acc_b + E * atten_b[:, None]
-    E_mean = acc / num_samples
-    spec3 = E_mean * _spec_pow(acc_s / num_samples, spec_exp)[:, None]
-    return E_mean, spec3, acc_b / num_samples
+            acc_b = acc_b + jnp.where(live[:, None], E * atten_b[:, None],
+                                      0.0)
+        n_done = n_done + live
+        if s + 1 < num_samples:
+            if noise_cutoff > 0.0:
+                cut = jnp.mean(E, axis=-1) / n_done < noise_cutoff
+                done = done | (live & cut)
+            if single_mask is not None:
+                done = done | single_mask
+    recip = 1.0 / jnp.maximum(n_done, 1.0)
+    E_mean = acc * recip[:, None]
+    spec3 = E_mean * _spec_pow(acc_s * recip, spec_exp)[:, None]
+    return E_mean, spec3, acc_b * recip[:, None]
 
 
 def sample_all_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
                       secondary: bool, settings, want_back: bool = False,
-                      active=None):
+                      active=None, secondary_mask=None):
     """The reference per-hit light loop (src/Blinn.cpp:213-221).
 
     secondary=True forces 1 sample per area light (src/DomeLight.cpp:89).
@@ -296,11 +337,16 @@ def sample_all_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
         total += p
         spec += s
         back += b
+    cutoff = getattr(settings, 'light_noise_cutoff', 0.0)
+    if secondary_mask is not None and not getattr(
+            settings, 'light_secondary_single', True):
+        secondary_mask = None
     if scene.rect_lights.v1.shape[0] > 0:
         ns = 1 if secondary else scene.rect_lights.num_samples
         key, sub = jax.random.split(key)
         p, s, b = sample_rect_lights(scene, tracer, P, N, rvec, spec_exp,
-                                     time, sub, ns, segs, want_back, active)
+                                     time, sub, ns, segs, want_back, active,
+                                     cutoff, secondary_mask)
         total += p
         spec += s
         back += b
@@ -308,7 +354,8 @@ def sample_all_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
         ns = 1 if secondary else scene.dome.num_samples
         key, sub = jax.random.split(key)
         p, s, b = sample_dome_light(scene, tracer, P, N, rvec, spec_exp,
-                                    time, sub, ns, segs, want_back, active)
+                                    time, sub, ns, segs, want_back, active,
+                                    cutoff, secondary_mask)
         total += p
         spec += s
         back += b

@@ -144,3 +144,31 @@ def test_final_forest_renders():
     img = _render(scene, cam, settings)
     assert img.mean() > 1e-3
     assert img.std() > 1e-3
+
+
+@pytest.mark.slow
+def test_per_light_adaptive_sampling_active():
+    """Reference per-light adaptive behaviors (round-4 parity items):
+    light_noise_cutoff (src/RectangleLight.cpp:117-124) stops weak-light
+    sampling after the first draw, and light_secondary_single
+    (src/DomeLight.cpp:89) drops secondary rays to 1 sample per area light.
+    Both must change the estimate (they re-weight which RNG draws are
+    used) while staying close to the full-sample mean."""
+    scene, cam, st = registry.make('cornell_pt', size=16, bvh=True,
+                                   num_rect_samples=4, max_bounces=2)
+    key = jax.random.PRNGKey(4)
+    base = _render(scene, cam, st.replace(light_noise_cutoff=0.0,
+                                          light_secondary_single=False),
+                   spp=4, key=4)
+    # a cutoff far above any irradiance: every ray stops after 1 sample
+    cut = _render(scene, cam, st.replace(light_noise_cutoff=1e9,
+                                         light_secondary_single=False),
+                  spp=4, key=4)
+    assert not np.array_equal(base, cut)
+    assert abs(cut.mean() - base.mean()) < 0.15 * base.mean() + 1e-3
+    # secondary-single only re-masks secondary NEE draws
+    sec = _render(scene, cam, st.replace(light_noise_cutoff=0.0,
+                                         light_secondary_single=True),
+                  spp=4, key=4)
+    assert not np.array_equal(base, sec)
+    assert abs(sec.mean() - base.mean()) < 0.15 * base.mean() + 1e-3
