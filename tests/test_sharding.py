@@ -70,31 +70,26 @@ def test_render_sharded_matches_manual():
 
 def test_loss_and_grads_matches_manual():
     """shard_map's transpose (psum of replicated-param cotangents) must give
-    the same gradients as differentiating the manual per-shard replica."""
-    scene, cam, settings = _scene()
-    key = jax.random.PRNGKey(3)
-    mesh = sharding.make_mesh(8)
-    params = sharding.get_params(scene)
-    target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+    the same gradients as differentiating the manual per-shard replica.
 
-    loss, grads = sharding.loss_and_grads(params, scene, cam, settings,
-                                          target, key, mesh, spp=1)
+    Runs in a FRESH subprocess (tests/check_loss_grads_manual.py): this
+    8-replica whole-image gradient program reproducibly segfaults XLA's
+    in-process CPU collectives when executed late in the full suite
+    (accumulated executables on the 2-core box) while passing in
+    isolation.
+    """
+    import os
+    import subprocess
+    import sys
 
-    def manual_loss(p, sc):
-        s = sharding.apply_params(sc, p)
-        img = _manual_sharded_render(s, cam, settings, key, 8, 1)
-        return jnp.mean((img - target) ** 2)
-
-    ref_loss, ref_grads = jax.jit(jax.value_and_grad(manual_loss))(params,
-                                                                   scene)
-    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
-    for k in grads:
-        np.testing.assert_allclose(
-            np.asarray(grads[k]), np.asarray(ref_grads[k]),
-            rtol=2e-4, atol=1e-7, err_msg=f'grad mismatch for {k}')
-    # at least the dominant params get signal
-    assert np.abs(np.asarray(grads['kd'])).max() > 0
-    assert np.abs(np.asarray(grads['rect_power'])).max() > 0
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != 'PYTHONPATH'}
+    r = subprocess.run(
+        [sys.executable, '-u',
+         os.path.join(repo, 'tests', 'check_loss_grads_manual.py')],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert 'ok' in r.stdout
 
 
 def test_train_step_decreases_loss():
