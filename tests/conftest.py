@@ -25,3 +25,15 @@ jax.config.update('jax_enable_x64', False)
 assert jax.default_backend() == 'cpu', (
     f'tests must run on CPU, got {jax.default_backend()}')
 assert jax.device_count() >= 8, 'expected 8 virtual CPU devices'
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules: ~80 tests of
+    accumulated XLA programs push this 2-core box into memory pressure
+    that segfaults the in-process CPU collectives of the (alphabetically
+    last) 8-virtual-device sharding tests."""
+    yield
+    jax.clear_caches()
