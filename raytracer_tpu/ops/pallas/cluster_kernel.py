@@ -10,23 +10,33 @@ Algorithm per ray block (grid dimension = ray blocks of RB rays):
      (RB, M) near-t key matrix (BIG = miss). One vector op, no gathers.
      This is the reference QBVH 4-box SSE test (src/BVH.cpp:391-414)
      widened to RB x M on the VPU.
-  2. sweep: while any (ray, cluster) pair has near < best_t, pick the
-     globally nearest viable cluster (scalar argmin — block-coherent, like
-     a CPU packet tracer), MT-test its contiguous 128-triangle slab against
-     ALL rays of the block (the reference TriCache4 intersect4,
-     src/BVH.cpp:1297-1459, widened 4 -> 128 lanes), update per-ray bests,
-     retire the cluster. Each iteration retires one cluster, so the loop is
-     bounded by M and typically exits after the handful of clusters the
-     block's rays actually overlap.
+  2. batched sweep: while any (ray, cluster) pair has near < best_t, pick
+     the K lowest-lane viable clusters IN ONE VECTOR PASS (exclusive ranks
+     via two small MXU matmuls against triangular one-matrices; no serial
+     argmin chain), fetch their K contiguous 128-triangle slabs (cheap
+     scalar-indexed dynamic slices), and Moller-Trumbore-test all K at
+     once as a single (RB, K*C) pass (the reference TriCache4 intersect4,
+     src/BVH.cpp:1297-1459, widened 4 -> K*128 lanes). Update per-ray
+     bests, mark the K clusters processed, repeat.
 
-Rays live on sublanes (RB, 1), triangles/clusters on lanes (1, C)/(1, M);
-cluster data rows are scalar-indexed dynamic slices (no per-lane gathers —
-the one addressing mode the VPU cannot do).
+Why K-batched, lane-ordered (round 5): ablation on v5e measured ~410 ns of
+fixed loop overhead per sweep iteration plus ~235 ns per argmin pick,
+against ~220 ns for an entire (RB, 128) MT test and near-zero for the
+dynamic slab fetches — the round-4 kernel (one near-ordered cluster per
+iteration, KPOP serial argmin pops) was loop-bound, not flop-bound. One
+iteration now retires K=8+ clusters for one loop boundary and one
+vectorized pick; per-ray best_t pruning between batches replaces strict
+near-ordering (SAH lane order is spatially coherent, so early batches
+still tighten best_t quickly).
+
+Rays live on sublanes (RB, 1), triangles/clusters on lanes; cluster data
+rows are scalar-indexed dynamic slices (no per-lane gathers — the one
+addressing mode the VPU cannot do).
 
 Motion blur lerps the MT basis by per-ray time (linear in the vertices, so
 identical to lerping vertices, reference src/MBObject.cpp:26-107).
 Alpha-cutout scenes are handled outside the kernel (callers re-trace past
-cutout hits); two-level instanced scenes use the BVH path instead.
+cutout hits); two-level instanced scenes use icluster_kernel.
 """
 from __future__ import annotations
 
@@ -43,17 +53,18 @@ from ...core.vecmath import MIRO_TMAX
 from ..intersect import Hit
 
 BIG = np.float32(3e38)
-# 32-ray blocks measured fastest on v5e (sponza_hd, 32k rays, fetch-timed,
-# KPOP=4): 0.90/0.75 Mray/s coherent/incoherent vs 0.56/0.38 at the old
-# rb=256/KPOP=1 — the near-ordered sweep retires clusters for the WHOLE
-# block, so small blocks waste fewer MT lanes on rays that don't overlap
-# the chosen cluster; the dense cull cost is rb-invariant (R x M total)
+# 32-ray blocks measured fastest on v5e (sponza_hd, 32k rays, fetch-timed):
+# the sweep retires clusters for the WHOLE block, so small blocks waste
+# fewer MT lanes on rays that don't overlap the chosen clusters, while the
+# dense cull cost is rb-invariant (R x M total)
 DEF_RB = 32
+DEF_KPOP = 16      # clusters MT-tested per (RB, kpop*C) batched pass
 
 
 def _kernel(bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref, tri_ref,
             rays_ref, t_out, tri_out, a_out, b_out,
-            *, any_hit: bool, mb: bool, M: int, C: int, RB: int):
+            *, any_hit: bool, cheap_any: bool, need_ab: bool, mb: bool,
+            kpop: int, M: int, S: int, C: int, RB: int):
     f32 = jnp.float32
 
     def ray_row(i):
@@ -76,14 +87,16 @@ def _kernel(bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref, tri_ref,
         _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
                      bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref,
                      q2_ref, tri_ref, t_out, tri_out, a_out, b_out,
-                     any_hit=any_hit, mb=mb, M=M, C=C, RB=RB)
+                     any_hit=any_hit, cheap_any=cheap_any, need_ab=need_ab,
+                     mb=mb, kpop=kpop, M=M, S=S, C=C, RB=RB)
 
 
 def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
                  bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref,
                  tri_ref, t_out, tri_out, a_out, b_out,
-                 *, any_hit: bool, mb: bool, M: int, C: int, RB: int):
-    f32 = jnp.float32
+                 *, any_hit: bool, cheap_any: bool, need_ab: bool, mb: bool,
+                 kpop: int, M: int, S: int, C: int, RB: int):
+    f32 = jnp.float32     # M == S * 128 (wrapper pads the table)
 
     def rcp(v):
         tiny = f32(1e-20)
@@ -92,7 +105,7 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
 
     ix, iy, iz = rcp(dx), rcp(dy), rcp(dz)
 
-    # ---- phase 1: dense cull -> (RB, M) near-t keys
+    # ---- phase 1: dense cull -> (RB, M) near-t keys (loop-invariant)
     def slab(axis, o_c, inv_c):
         lo = bb_ref[axis, :].reshape(1, M)
         hi = bb_ref[3 + axis, :].reshape(1, M)
@@ -108,43 +121,56 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
     ok_box = (near <= far) & (far >= tmin) & (near <= tmax)
     key = jnp.where(ok_box, jnp.maximum(near, 0.0), BIG)   # (RB, M)
 
-    lane_m = jax.lax.broadcasted_iota(jnp.int32, (RB, M), 1)
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    # exclusive-rank machinery: strictly-lower-triangular one-matrices
+    # (cumsum has no Pallas TPU lowering; one 128x128 MXU matmul ranks a
+    # whole segment row, one SxS matmul offsets the segments)
+    ltri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)).astype(f32)
+    ltriS = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+             < jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)).astype(f32)
+    lane_id = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
+               + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
 
     best_t0 = jnp.minimum(tmax, f32(MIRO_TMAX))            # (RB, 1)
-    state = (key, best_t0, jnp.full((RB, 1), -1, jnp.int32),
-             jnp.zeros((RB, 1), f32), jnp.zeros((RB, 1), f32))
 
-    def viable(key, best_t, best_tri):
-        v = key < best_t
+    def viable9(best_t, best_tri, done9):
+        """(S, 128) candidate mask: some ray's key beats its best t.
+
+        Segment rows come from static 128-lane slices (a (1, Mp)->(S, 128)
+        reshape is an unsupported Mosaic shape cast); slice starts are
+        vreg-aligned so this lowers to plain register moves."""
+        v = key < best_t                                   # (RB, M)
         if any_hit:
             v = v & (best_tri < 0)
-        return v
+        # assemble in f32 — i1 vector concat is an invalid register cast;
+        # returns i32 0/1 (bool vectors can't be yielded through scf.while)
+        vrow = jnp.max(jnp.where(v, 1.0, 0.0), axis=0).reshape(1, M)
+        v9 = jnp.concatenate(
+            [vrow[:, s * 128:(s + 1) * 128] for s in range(S)], axis=0)
+        return ((v9 > 0.5) & (done9 == 0)).astype(jnp.int32)
 
-    def cond(s):
-        key, best_t, best_tri, _, _ = s
-        return jnp.any(viable(key, best_t, best_tri))
+    def mt_clusters(cs, best):
+        """MT-test K clusters' slabs vs all RB rays in ONE (RB, K*C) pass.
 
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
-    KPOP = 4  # clusters retired per (RB, M) re-mask — amortizes the
-              # expensive per-iteration viability mask + column min over
-              # several cheap (1, M) queue pops + MT tests
-
-    def mt_cluster(c, best):
-        """MT-test cluster c's (3, C) slab vs all RB rays, update bests."""
+        cs: list of K scalar cluster ids (duplicates are harmless — the
+        t < best_t mask dedups)."""
         best_t, best_tri, best_a, best_b = best
-        p0 = p0_ref[pl.ds(3 * c, 3), :]                    # (3, C)
-        e1 = e1_ref[pl.ds(3 * c, 3), :]
-        e2 = e2_ref[pl.ds(3 * c, 3), :]
+        K = len(cs)
+        KC = K * C
+        cat = lambda refn: jnp.concatenate(
+            [refn[pl.ds(3 * c, 3), :] for c in cs], axis=1)   # (3, K*C)
+        p0 = cat(p0_ref)
+        e1 = cat(e1_ref)
+        e2 = cat(e2_ref)
 
         def comp(m3, i):
-            return m3[i, :].reshape(1, C)
+            return m3[i, :].reshape(1, KC)
 
         if mb:
-            q0 = q0_ref[pl.ds(3 * c, 3), :]
-            q1 = q1_ref[pl.ds(3 * c, 3), :]
-            q2 = q2_ref[pl.ds(3 * c, 3), :]
-            # (RB, C) lerped basis per component
+            q0 = cat(q0_ref)
+            q1 = cat(q1_ref)
+            q2 = cat(q2_ref)
+            # (RB, K*C) lerped basis per component
             p0x = comp(p0, 0) + time * (comp(q0, 0) - comp(p0, 0))
             p0y = comp(p0, 1) + time * (comp(q0, 1) - comp(p0, 1))
             p0z = comp(p0, 2) + time * (comp(q0, 2) - comp(p0, 2))
@@ -176,45 +202,80 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
         b = (dx * qvx + dy * qvy + dz * qvz) * inv_det
         t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
-        tid = tri_ref[c, :].reshape(1, C)
+        tid = jnp.concatenate(
+            [tri_ref[pl.ds(c, 1), :] for c in cs], axis=1)    # (1, K*C)
         ok = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (a + b <= 1.0) \
             & (det != 0.0) & (tid >= 0) & (t >= tmin) & (t < best_t)
-        th = jnp.where(ok, t, BIG)                         # (RB, C)
+
+        if cheap_any:
+            # shadow-ray fast path (callers only read tri >= 0): no argmin,
+            # no attribute selects — one OR over lanes per ray
+            got = jnp.any(ok, axis=1, keepdims=True)
+            best_tri = jnp.where(got, 1, best_tri)
+            return (best_t, best_tri, best_a, best_b)
+
+        th = jnp.where(ok, t, BIG)                         # (RB, K*C)
         tmin_c = jnp.min(th, axis=1, keepdims=True)        # (RB, 1)
         jsel = jnp.argmin(th, axis=1).reshape(RB, 1)       # (RB, 1)
         got = tmin_c < BIG
-        sel = lane_c == jsel                               # (RB, C)
+        lane_kc = jax.lax.broadcasted_iota(jnp.int32, (RB, KC), 1)
+        sel = lane_kc == jsel                              # (RB, K*C)
 
         def pick(v, old):
             vj = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
             return jnp.where(got, vj, old)
 
         best_t = jnp.where(got, tmin_c, best_t)
-        best_a = pick(a, best_a)
-        best_b = pick(b, best_b)
+        if need_ab:
+            # barycentrics of the winning lane; non-alpha scenes skip
+            # these wide selects — the wrapper recomputes a/b from the
+            # winning triangle in XLA (refine_hit-style), off the hot loop
+            best_a = pick(a, best_a)
+            best_b = pick(b, best_b)
         tidj = jnp.sum(jnp.where(sel, tid, 0), axis=1, keepdims=True)
         best_tri = jnp.where(got, tidj, best_tri)
         return (best_t, best_tri, best_a, best_b)
 
-    def body(s):
-        key, best_t, best_tri, best_a, best_b = s
-        mkey = jnp.where(viable(key, best_t, best_tri), key, BIG)
-        colmin = jnp.min(mkey, axis=0).reshape(1, M)
-        retired = jnp.zeros((1, M), jnp.bool_)
-        best = (best_t, best_tri, best_a, best_b)
-        for _ in range(KPOP):
-            c = jnp.argmin(colmin, axis=1)[0]              # scalar cluster id
-            # later pops may already be non-viable (BIG) — the MT's own
-            # t/best_t masks keep them harmless, and the pop is cheap
-            eq = lane1 == c
-            retired = retired | (eq & (colmin < BIG))
-            colmin = jnp.where(eq, BIG, colmin)
-            best = mt_cluster(c, best)
-        best_t, best_tri, best_a, best_b = best
-        key = jnp.where(retired, BIG, key)                 # retire clusters
-        return (key, best_t, best_tri, best_a, best_b)
+    done9 = jnp.zeros((S, 128), jnp.int32)
+    v9 = viable9(best_t0, jnp.full((RB, 1), -1, jnp.int32), done9)
+    state = (v9, done9, best_t0,
+             jnp.full((RB, 1), -1, jnp.int32),
+             jnp.zeros((RB, 1), f32), jnp.zeros((RB, 1), f32))
 
-    key, best_t, best_tri, best_a, best_b = jax.lax.while_loop(
+    def cond(s):
+        v9, *_ = s
+        return jnp.any(v9 > 0)
+
+    def body(s):
+        v9, done9, best_t, best_tri, best_a, best_b = s
+        vb = v9 > 0
+        # exclusive rank of each candidate lane among candidates
+        vf = v9.astype(f32)                                # (S, 128)
+        intra = jnp.dot(vf, ltri, preferred_element_type=f32)
+        segc = jnp.sum(vf, axis=1, keepdims=True)          # (S, 1)
+        if S > 1:
+            segoff = jnp.dot(ltriS, segc, preferred_element_type=f32)
+        else:
+            segoff = jnp.zeros((S, 1), f32)
+        rank = (intra + segoff).astype(jnp.int32)          # (S, 128)
+        cs = []
+        for k in range(0, kpop, 2):
+            # two lane ids packed per scalar extract (15 bits each, so
+            # M <= 32767): vector->scalar moves are ~60 ns apiece and
+            # dominate the pick when unpacked. Batches short of kpop
+            # re-test lane 0 — harmless (the t/best_t masks dedup).
+            w = jnp.where(vb & (rank == k), lane_id, 0) \
+                + jnp.where(vb & (rank == k + 1), lane_id * 32768, 0)
+            jk = jnp.sum(w)
+            cs.append(jnp.minimum(jk & 0x7FFF, M - 1))
+            cs.append(jnp.minimum(jk >> 15, M - 1))
+        done9 = done9 | (v9 * (rank < kpop))
+        best_t, best_tri, best_a, best_b = mt_clusters(
+            cs, (best_t, best_tri, best_a, best_b))
+        v9 = viable9(best_t, best_tri, done9)
+        return (v9, done9, best_t, best_tri, best_a, best_b)
+
+    _, _, best_t, best_tri, best_a, best_b = jax.lax.while_loop(
         cond, body, state)
 
     t_out[0, 0, :] = best_t.reshape(RB)
@@ -224,11 +285,12 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
 
 
 @partial(jax.jit,
-         static_argnames=('any_hit', 'rb', 'interpret', 'mb'))
+         static_argnames=('any_hit', 'rb', 'interpret', 'mb', 'kpop'))
 def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
                          any_hit: bool = False, rb: int = DEF_RB,
                          interpret: bool | None = None,
-                         table=None, mb: bool | None = None) -> Hit:
+                         table=None, mb: bool | None = None,
+                         kpop: int = DEF_KPOP) -> Hit:
     """Trace a wavefront with the VMEM-resident cluster kernel -> Hit.
 
     Single-level, non-alpha scenes; callers gate on scene flags
@@ -251,8 +313,21 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
     tmax = jax.lax.stop_gradient(tmax)
     R = o.shape[0]
     M, _, C = cl.p0.shape
+    S = -(-M // 128)
+    assert S * 128 <= 32768, \
+        'cluster table too large for packed picks — chunk it (_mb_chunks)'
+    assert kpop % 2 == 0, 'kpop must be even (ids are extracted in pairs)'
     if mb is None:
         mb = scene.has_motion_blur
+    # shadow rays in no-alpha scenes only need a boolean: skip the
+    # per-cluster argmin + attribute selects (alpha_aware_trace DOES read
+    # a/b/tri of any-hit hits, so alpha scenes keep the exact update)
+    cheap_any = bool(any_hit) and not scene.has_alpha_maps
+    # barycentric outputs only matter to the alpha re-trace march; other
+    # callers go through intersect.refine_hit, and the wrapper recomputes
+    # a/b from the winning triangle below — keeping two (RB, K*C)
+    # select/sum chains out of every sweep iteration
+    need_ab = bool(scene.has_alpha_maps)
     f32 = jnp.float32
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -272,23 +347,34 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
                       padded(tmin), padded(tmax, -1.0), padded(time)])
     rays = rays.reshape(9, Rp // rb, rb).transpose(1, 0, 2)  # (nb, 9, RB)
 
+    # lane-align the table: the kernel's rank pick needs M as a whole
+    # number of 128-lane segment rows (in-kernel pads/reshapes are
+    # unsupported Mosaic shape casts). Padding rows: far-away point boxes
+    # (fail every slab test), degenerate triangles, id -1.
+    padm = S * 128 - M
+
+    def padrows(x, n, fill=0.0):
+        return jnp.pad(x, ((0, n), (0, 0)), constant_values=fill)
+
     bb = jnp.concatenate([jnp.asarray(cl.bb_min, f32).T,
                           jnp.asarray(cl.bb_max, f32).T])    # (6, M)
-    p0 = jnp.asarray(cl.p0, f32).reshape(M * 3, C)
-    e1 = jnp.asarray(cl.e1, f32).reshape(M * 3, C)
-    e2 = jnp.asarray(cl.e2, f32).reshape(M * 3, C)
+    bb = jnp.pad(bb, ((0, 0), (0, padm)), constant_values=3e37)
+    p0 = padrows(jnp.asarray(cl.p0, f32).reshape(M * 3, C), 3 * padm)
+    e1 = padrows(jnp.asarray(cl.e1, f32).reshape(M * 3, C), 3 * padm)
+    e2 = padrows(jnp.asarray(cl.e2, f32).reshape(M * 3, C), 3 * padm)
     if mb:
-        q0 = jnp.asarray(cl.p0_t1, f32).reshape(M * 3, C)
-        q1 = jnp.asarray(cl.e1_t1, f32).reshape(M * 3, C)
-        q2 = jnp.asarray(cl.e2_t1, f32).reshape(M * 3, C)
-        mq = M
+        q0 = padrows(jnp.asarray(cl.p0_t1, f32).reshape(M * 3, C), 3 * padm)
+        q1 = padrows(jnp.asarray(cl.e1_t1, f32).reshape(M * 3, C), 3 * padm)
+        q2 = padrows(jnp.asarray(cl.e2_t1, f32).reshape(M * 3, C), 3 * padm)
+        mq = M + padm
     else:
         # static: the kernel never reads the t=1 pose — pass tiny dummies
         # instead of aliasing p0/e1/e2 (duplicate operands are NOT deduped
         # in VMEM and would double the table footprint)
         q0 = q1 = q2 = jnp.zeros((3, C), f32)
         mq = 1
-    tri = jnp.asarray(cl.tri, jnp.int32)
+    tri = padrows(jnp.asarray(cl.tri, jnp.int32), padm, -1)
+    M = M + padm
 
     nb = Rp // rb
     whole = lambda i: (0, 0)
@@ -317,7 +403,8 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
              t_o, tri_o, a_o, b_o):
         _kernel(bb_r, p0_r, e1_r, e2_r, q0_r, q1_r, q2_r, tri_r,
                 rays_r[0], t_o, tri_o, a_o, b_o,
-                any_hit=any_hit, mb=mb, M=M, C=C, RB=rb)
+                any_hit=any_hit, cheap_any=cheap_any, need_ab=need_ab,
+                mb=mb, kpop=kpop, M=M, S=S, C=C, RB=rb)
 
     # under shard_map (check_vma=True) outputs must declare how they vary
     # over mesh axes: like the ray inputs (cluster tables are replicated)
@@ -342,4 +429,15 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
     a = a.reshape(Rp)[:R]
     b = b.reshape(Rp)[:R]
     t = jnp.where(tri_id >= 0, t, MIRO_TMAX)
+    if not (need_ab or cheap_any):
+        # recompute barycentrics of the winning triangle in XLA (same MT
+        # the kernel ran; forward-only — the whole Hit is tangent-free)
+        from .. import intersect as isect
+        p = jax.lax.stop_gradient(
+            isect.gather_tri_verts(scene, jnp.maximum(tri_id, 0), time))
+        _, a, b, _ = isect.mt_intersect(o, d, p[..., 0, :], p[..., 1, :],
+                                        p[..., 2, :])
+        valid = tri_id >= 0
+        a = jnp.where(valid, a, 0.0)
+        b = jnp.where(valid, b, 0.0)
     return Hit(t=t, tri=tri_id, inst=jnp.zeros((R,), jnp.int32), a=a, b=b)

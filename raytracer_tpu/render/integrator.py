@@ -177,7 +177,10 @@ def _mb_chunks(mb, has_mb: bool = True):
     M, _, C = mb.p0.shape
     n_basis = 6 if has_mb else 3
     nbytes = M * 3 * C * 4 * n_basis + M * C * 4 + M * 6 * 4
-    n = -(-nbytes // (8 * 1024 * 1024))
+    # 13 MB of tables + the kernel's working set fits the 16 MB scoped
+    # VMEM limit (sponza_hd's 2080-cluster table measured single-chunk at
+    # 3.16/2.55 Mray/s coh/incoh vs 2.76/2.22 split in two)
+    n = -(-nbytes // (13 * 1024 * 1024))
     if n <= 1:
         return [mb]
     step = -(-M // n)
