@@ -7,6 +7,8 @@ here is numpy; the result is a pytree of device arrays ready for jit.
 from __future__ import annotations
 
 import math
+
+import jax
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -394,7 +396,7 @@ class SceneBuilder:
             iclusters, mb_clusters = cl_mod.build_instanced_clusters(
                 geom, instances, inst_table)
 
-        return T.Scene(
+        scene = T.Scene(
             geom=geom, materials=materials, textures=textures,
             point_lights=point_lights, rect_lights=rect_lights,
             dome=self._build_dome(), blas=blas, tlas=None,
@@ -407,3 +409,8 @@ class SceneBuilder:
             has_material_env=has_mat_env,
             has_dispersion=has_disperse, has_translucency=has_transl,
             bvh_root=bvh_root)
+        # commit every table to the device ONCE: numpy pytree leaves
+        # passed as jit arguments are re-uploaded on EVERY call — through
+        # the axon tunnel that cost 20-300 ms per dispatch for sponza_hd's
+        # ~42 MB of tables and swamped all per-call trace timings
+        return jax.device_put(scene)

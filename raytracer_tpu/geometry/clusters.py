@@ -171,6 +171,13 @@ def build_clusters(geom: T.Geometry, cluster_size: int = 128,
 NEVER_LO = np.float32(3e37)
 NEVER_HI = np.float32(3e37)
 
+# clusters per SEGMENT: the two-level kernel's sweep unit is a run of KIN
+# consecutive prototype clusters, MT-tested as one (RB, KIN*C) pass; each
+# (instance, chunk) pair becomes one flat segment entry with its own world
+# AABB (prototype cluster tables are padded to KIN so chunks never straddle
+# prototypes)
+KIN = 4
+
 
 @struct.dataclass
 class InstancedClusters:
@@ -200,12 +207,17 @@ class InstancedClusters:
     pbb: Array           # (P*6, MP) f32 — per-proto cluster boxes, rows
                          # 6p..6p+5, lane = local cluster id
     pmeta: Array         # (P, 2) i32 — [cluster row offset, cluster count]
+    tri: Array           # (Mtot, C) i32 — GLOBAL triangle ids, -1 padding
+    # --- flat segment table + shared prototype pools (kernel working set)
+    sbb: Array           # (6, E) f32 — segment WORLD boxes (lane-padded)
+    smeta: Array         # (E, 3) i32 — [icl inst row, base cluster row,
+                         #               scene.instances row]
     p0: Array            # (Mtot*3, C) f32 — MT basis pool [row=3m+comp]
     e1: Array            # (Mtot*3, C)
     e2: Array            # (Mtot*3, C)
-    tri: Array           # (Mtot, C) i32 — GLOBAL triangle ids, -1 padding
     cluster_size: int = struct.field(pytree_node=False, default=128)
     num_instances: int = struct.field(pytree_node=False, default=0)
+    num_entries: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_clusters(self) -> int:
@@ -259,17 +271,17 @@ def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
     if not proto_keys:
         return None, mb_clusters
 
-    # ---- per-prototype cluster tables (object space)
+    # ---- per-prototype cluster tables (object space), padded to KIN so
+    # segment chunks never straddle prototypes
     C = cluster_size
     tabs = [None] * len(proto_keys)
     for key, (pidx, tri_ids) in proto_keys.items():
-        tabs[pidx] = build_clusters(geom, C, pad_clusters_to=1,
+        tabs[pidx] = build_clusters(geom, C, pad_clusters_to=KIN,
                                     tri_ids=tri_ids)
     P = len(tabs)
     proto_len = np.asarray([t.tri.shape[0] for t in tabs], np.int64)
     proto_off = np.concatenate([[0], np.cumsum(proto_len)[:-1]])
     Mtot = int(proto_len.sum())
-    MP = -(-int(proto_len.max()) // 128) * 128
 
     cat = lambda k: np.concatenate(
         [np.asarray(getattr(t, k), np.float32) for t in tabs])
@@ -277,7 +289,9 @@ def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
     e1 = cat('e1').reshape(Mtot * 3, C)
     e2 = cat('e2').reshape(Mtot * 3, C)
     tri = np.concatenate([np.asarray(t.tri, np.int32) for t in tabs])
+    pmeta = np.stack([proto_off, proto_len], 1).astype(np.int32)
 
+    MP = -(-int(proto_len.max()) // 128) * 128
     pbb = np.empty((P * 6, MP), np.float32)
     pbb[:] = NEVER_LO
     pbb[np.arange(P * 6) % 6 >= 3] = NEVER_HI
@@ -285,7 +299,6 @@ def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
         l_ = int(proto_len[p])
         pbb[6 * p:6 * p + 3, :l_] = np.asarray(tabs[p].bb_min).T
         pbb[6 * p + 3:6 * p + 6, :l_] = np.asarray(tabs[p].bb_max).T
-    pmeta = np.stack([proto_off, proto_len], 1).astype(np.int32)
 
     # ---- instance table (lane-padded to 128 with never-hit boxes)
     n_inst = len(entries)
@@ -297,12 +310,28 @@ def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
     imeta = np.zeros((I, 2), np.int32)
     m_all = np.asarray(inst_table.m)
     minv_all = np.asarray(inst_table.m_inv)
+
+    # per-prototype chunk object boxes (union of the chunk's REAL clusters)
+    chunk_lo, chunk_hi = [], []
+    for p in range(P):
+        t = tabs[p]
+        lo = np.asarray(t.bb_min).reshape(-1, KIN, 3)
+        hi = np.asarray(t.bb_max).reshape(-1, KIN, 3)
+        real = lo[..., 0] < 1e37                   # (nchunk, KIN)
+        m4 = real[..., None]
+        chunk_lo.append(np.where(m4, lo, np.inf).min(1))
+        chunk_hi.append(np.where(m4, hi, -np.inf).max(1))
+
+    # ---- flat segment table: one entry per (instance, cluster chunk)
+    sb_lo, sb_hi, sm = [], [], []
     for k, (key, row) in enumerate(entries):
         pidx = proto_keys[key][0]
         t = tabs[pidx]
-        bmn = np.asarray(t.bb_min).min(0)
-        bmx = np.asarray(t.bb_max).max(0)
         m = m_all[row]
+        # union of REAL clusters only (KIN padding rows are 3e37 points)
+        real = np.asarray(t.bb_min)[:, 0] < 1e37
+        bmn = np.asarray(t.bb_min)[real].min(0)
+        bmx = np.asarray(t.bb_max)[real].max(0)
         # world AABB from the 8 object-box corners (reference
         # ProxyObject::getAABB, src/ProxyObject.cpp:97-130)
         cs = np.array([[x, y, z]
@@ -315,10 +344,34 @@ def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
         iminv[k] = minv_all[row].reshape(12)
         imeta[k] = (pidx, row)
 
+        clo, chi = chunk_lo[pidx], chunk_hi[pidx]
+        base_c = int(proto_off[pidx])
+        for j in range(len(clo)):
+            corners = np.array([[x, y, z]
+                                for x in (clo[j][0], chi[j][0])
+                                for y in (clo[j][1], chi[j][1])
+                                for z in (clo[j][2], chi[j][2])], np.float32)
+            w = corners @ m[:, :3].T + m[:, 3]
+            sb_lo.append(w.min(0))
+            sb_hi.append(w.max(0))
+            sm.append((k, base_c + j * KIN, row))
+
+    n_ent = len(sm)
+    E = -(-n_ent // 128) * 128
+    sbb = np.empty((6, E), np.float32)
+    sbb[:3] = NEVER_LO
+    sbb[3:] = NEVER_HI
+    sbb[:3, :n_ent] = np.asarray(sb_lo, np.float32).T
+    sbb[3:, :n_ent] = np.asarray(sb_hi, np.float32).T
+    smeta = np.zeros((E, 3), np.int32)
+    smeta[:n_ent] = np.asarray(sm, np.int32)
+
     return InstancedClusters(
         ibb=ibb, iminv=iminv.astype(np.float32), imeta=imeta,
-        pbb=pbb, pmeta=pmeta, p0=p0, e1=e1, e2=e2, tri=tri,
-        cluster_size=C, num_instances=n_inst), mb_clusters
+        pbb=pbb, pmeta=pmeta, tri=tri,
+        sbb=sbb, smeta=smeta, p0=p0, e1=e1, e2=e2,
+        cluster_size=C, num_instances=n_inst,
+        num_entries=n_ent), mb_clusters
 
 
 def refresh_clusters(clusters: Clusters, geom, mb: bool) -> Clusters:

@@ -191,9 +191,18 @@ def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
 
     def body(s):
         # done rays become instant misses (tmax < 0 fails every slab test)
-        # so later passes only pay for rays still marching through cutouts
+        # so later passes only pay for rays still marching through cutouts.
+        # COMPACT live rays to the front first: the Pallas kernels skip
+        # whole all-dead blocks, but the march's survivors are scattered
+        # across the wavefront — without the permutation nearly every
+        # 32-ray block keeps one live ray and re-traces at full cost
+        # (measured 12.9x the raw kernel on the forest canopy; ~3x after)
         tmax_eff = jnp.where(s['done'], jnp.float32(-1.0), tmax_b)
-        hit = trace_once(o, d, time_b, s['tmin'], tmax_eff, any_hit)
+        perm = jnp.argsort(s['done'].astype(jnp.int32), stable=True)
+        inv = jnp.argsort(perm)
+        hit = trace_once(o[perm], d[perm], time_b[perm], s['tmin'][perm],
+                         tmax_eff[perm], any_hit)
+        hit = jax.tree_util.tree_map(lambda x: x[inv], hit)
         live = ~s['done']
         valid = hit.valid
         alpha = _alpha_of(scene, jnp.maximum(hit.tri, 0), hit.a, hit.b)

@@ -62,7 +62,7 @@ DEF_KPOP = 16      # clusters MT-tested per (RB, kpop*C) batched pass
 
 
 def _kernel(bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref, tri_ref,
-            rays_ref, t_out, tri_out, a_out, b_out,
+            ltri_ref, lid_ref, rays_ref, t_out, tri_out, a_out, b_out,
             *, any_hit: bool, cheap_any: bool, need_ab: bool, mb: bool,
             kpop: int, M: int, S: int, C: int, RB: int):
     f32 = jnp.float32
@@ -86,14 +86,15 @@ def _kernel(bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref, tri_ref,
     def _block_body():
         _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
                      bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref,
-                     q2_ref, tri_ref, t_out, tri_out, a_out, b_out,
+                     q2_ref, tri_ref, ltri_ref, lid_ref,
+                     t_out, tri_out, a_out, b_out,
                      any_hit=any_hit, cheap_any=cheap_any, need_ab=need_ab,
                      mb=mb, kpop=kpop, M=M, S=S, C=C, RB=RB)
 
 
 def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
                  bb_ref, p0_ref, e1_ref, e2_ref, q0_ref, q1_ref, q2_ref,
-                 tri_ref, t_out, tri_out, a_out, b_out,
+                 tri_ref, ltri_ref, lid_ref, t_out, tri_out, a_out, b_out,
                  *, any_hit: bool, cheap_any: bool, need_ab: bool, mb: bool,
                  kpop: int, M: int, S: int, C: int, RB: int):
     f32 = jnp.float32     # M == S * 128 (wrapper pads the table)
@@ -121,15 +122,19 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
     ok_box = (near <= far) & (far >= tmin) & (near <= tmax)
     key = jnp.where(ok_box, jnp.maximum(near, 0.0), BIG)   # (RB, M)
 
-    # exclusive-rank machinery: strictly-lower-triangular one-matrices
-    # (cumsum has no Pallas TPU lowering; one 128x128 MXU matmul ranks a
-    # whole segment row, one SxS matmul offsets the segments)
-    ltri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-            < jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)).astype(f32)
-    ltriS = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-             < jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)).astype(f32)
-    lane_id = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
-               + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
+    # exclusive-rank machinery (cumsum has no Pallas TPU lowering; one
+    # 128x128 MXU matmul ranks a whole segment row, one SxS matmul offsets
+    # the segments). The triangular matrices, lane-id table, and select
+    # iota come in as INPUTS with constant index maps: in-kernel
+    # broadcasted_iota chains get hoisted out of the pl.when skip branch
+    # and re-evaluated on EVERY grid step — measured ~8-14us per DEAD
+    # 32-ray block, which dominated late-bounce wavefronts.
+    ltri = ltri_ref[0:128, :]                              # (128, 128) f32
+    ltriS = ltri_ref[128:128 + S, 0:S] if S > 1 else None  # (S, S) f32
+    lane_id = lid_ref[0:S, :]                              # (S, 128) i32
+    iota_kc = jnp.concatenate(
+        [lid_ref[S + k:S + k + 1, :] for k in range(kpop)],
+        axis=1)                                            # (1, kpop*C) i32
 
     best_t0 = jnp.minimum(tmax, f32(MIRO_TMAX))            # (RB, 1)
 
@@ -218,8 +223,7 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax, time,
         tmin_c = jnp.min(th, axis=1, keepdims=True)        # (RB, 1)
         jsel = jnp.argmin(th, axis=1).reshape(RB, 1)       # (RB, 1)
         got = tmin_c < BIG
-        lane_kc = jax.lax.broadcasted_iota(jnp.int32, (RB, KC), 1)
-        sel = lane_kc == jsel                              # (RB, K*C)
+        sel = iota_kc == jsel                              # (RB, K*C)
 
         def pick(v, old):
             vj = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
@@ -376,6 +380,19 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
     tri = padrows(jnp.asarray(cl.tri, jnp.int32), padm, -1)
     M = M + padm
 
+    # constant tables for the rank pick / winner select (see _trace_block:
+    # in-kernel iota chains are re-evaluated every grid step, even skipped)
+    i128 = np.arange(128)
+    ltri_tab = np.zeros((128 + S, 128), np.float32)
+    ltri_tab[:128] = (i128[:, None] < i128[None, :])
+    ltri_tab[128:128 + S, :S] = (np.arange(S)[:, None]
+                                 < np.arange(S)[None, :])
+    lid_tab = np.zeros((S + kpop, 128), np.int32)
+    lid_tab[:S] = np.arange(S)[:, None] * 128 + i128[None, :]
+    lid_tab[S:] = np.arange(kpop)[:, None] * 128 + i128[None, :]
+    ltri_tab = jnp.asarray(ltri_tab)
+    lid_tab = jnp.asarray(lid_tab)
+
     nb = Rp // rb
     whole = lambda i: (0, 0)
     grid_spec = pl.GridSpec(
@@ -389,6 +406,8 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
             pl.BlockSpec((mq * 3, C), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((mq * 3, C), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((M, C), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((128 + S, 128), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S + kpop, 128), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 9, rb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -399,10 +418,10 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
         ],
     )
 
-    def kern(bb_r, p0_r, e1_r, e2_r, q0_r, q1_r, q2_r, tri_r, rays_r,
-             t_o, tri_o, a_o, b_o):
-        _kernel(bb_r, p0_r, e1_r, e2_r, q0_r, q1_r, q2_r, tri_r,
-                rays_r[0], t_o, tri_o, a_o, b_o,
+    def kern(bb_r, p0_r, e1_r, e2_r, q0_r, q1_r, q2_r, tri_r, ltri_r,
+             lid_r, rays_r, t_o, tri_o, a_o, b_o):
+        _kernel(bb_r, p0_r, e1_r, e2_r, q0_r, q1_r, q2_r, tri_r, ltri_r,
+                lid_r, rays_r[0], t_o, tri_o, a_o, b_o,
                 any_hit=any_hit, cheap_any=cheap_any, need_ab=need_ab,
                 mb=mb, kpop=kpop, M=M, S=S, C=C, RB=rb)
 
@@ -422,7 +441,7 @@ def pallas_cluster_trace(scene: Scene, o, d, time, tmin, tmax,
         out_shape=[out_struct(f32), out_struct(jnp.int32),
                    out_struct(f32), out_struct(f32)],
         interpret=interpret,
-    )(bb, p0, e1, e2, q0, q1, q2, tri, rays)
+    )(bb, p0, e1, e2, q0, q1, q2, tri, ltri_tab, lid_tab, rays)
 
     t = t.reshape(Rp)[:R]
     tri_id = tri_id.reshape(Rp)[:R]

@@ -11,19 +11,26 @@ Per ray block (grid dim = ray blocks of RB rays):
   2. outer sweep: while any (ray, instance) key beats the ray's best t,
      pick the globally nearest viable instance (scalar argmin —
      block-coherent), transform the whole block into its OBJECT space with
-     the precomputed world->object affine. Directions are NOT renormalized,
-     so the ray parameter t is identical in both spaces (the same invariant
-     the reference relies on, src/ProxyObject.cpp:78-84).
-  3. inner sweep: cull the object-space block against the instance's
-     prototype cluster AABBs -> (RB, MP) keys, then run the single-level
-     near-ordered cluster sweep (MT against contiguous 128-triangle slabs)
-     updating the per-ray best (t, tri, inst, a, b). Prototype tables are
-     shared: VMEM holds ONE copy per prototype regardless of instance count
-     (the reference's 1M-bunny memory story, webpage "Instancing").
+     the precomputed world->object affine read from SMEM (scalar loads —
+     12 vector->scalar extracts per instance would cost ~0.7us).
+     Directions are NOT renormalized, so the ray parameter t is identical
+     in both spaces (the invariant the reference relies on).
+  3. inner sweep (the round-5 batched design, see cluster_kernel.py):
+     cull the object-space block against the prototype's cluster AABBs ->
+     (RB, MP) keys, then retire kpop clusters per iteration — one
+     vectorized exclusive-rank pick (ids packed two per scalar extract)
+     and ONE wide (RB, kpop*C) Moller-Trumbore pass — with per-ray best_t
+     pruning between batches. Prototype tables are shared: VMEM holds ONE
+     copy per prototype regardless of instance count (the reference's
+     1M-bunny memory story, webpage "Instancing").
   4. retire the instance, continue until no instance's entry beats best t.
 
-Front-to-back instance ordering + per-ray best-t pruning means a block
-typically visits only the handful of instances its rays actually overlap.
+This hierarchical kernel carries the deep-prototype scenes (forest trees:
+hundreds of clusters per prototype — a flat per-chunk cull would test
+every chunk box of every tree). Scenes with SHALLOW prototypes use the
+flat segment kernel instead (iseg_kernel.py), which batches several
+instances' geometry into each MT pass and scales to ~100k+ instances;
+render.integrator picks per scene.
 
 Static geometry only: motion-blurred world triangles live in a separate
 single-level table (scene.mb_clusters) traced by the MB-capable
@@ -47,14 +54,16 @@ BIG = np.float32(3e38)
 # 32-ray blocks: small blocks waste fewer MT lanes per sweep iteration
 # (see cluster_kernel.DEF_RB) AND shrink the persistent (RB, I)
 # instance-key matrix that dominates scoped VMEM at forest-scale instance
-# counts (RB=256 blew the 16 MB limit by 2.6 MB at I=1920)
+# counts
 DEF_RB = 32
+DEF_KPOP = 8       # clusters MT-tested per (RB, kpop*C) batched pass
 
 
 def _kernel(ibb_ref, iminv_ref, imeta_ref, pbb_ref, pmeta_ref,
             p0_ref, e1_ref, e2_ref, tri_ref, rays_ref,
             t_out, tri_out, inst_out, a_out, b_out,
-            *, any_hit: bool, I: int, NI: int, MP: int, C: int, RB: int):
+            *, any_hit: bool, cheap_any: bool, need_ab: bool, kpop: int,
+            I: int, NI: int, MP: int, C: int, RB: int):
     f32 = jnp.float32
 
     def ray_row(i):
@@ -80,16 +89,18 @@ def _kernel(ibb_ref, iminv_ref, imeta_ref, pbb_ref, pmeta_ref,
                      iminv_ref, imeta_ref, ibb_ref, pbb_ref, pmeta_ref,
                      p0_ref, e1_ref, e2_ref, tri_ref,
                      t_out, tri_out, inst_out, a_out, b_out,
-                     any_hit=any_hit, I=I, NI=NI, MP=MP, C=C, RB=RB)
+                     any_hit=any_hit, cheap_any=cheap_any, need_ab=need_ab,
+                     kpop=kpop, I=I, NI=NI, MP=MP, C=C, RB=RB)
 
 
 def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
                  iminv_ref, imeta_ref, ibb_ref, pbb_ref, pmeta_ref,
                  p0_ref, e1_ref, e2_ref, tri_ref,
                  t_out, tri_out, inst_out, a_out, b_out,
-                 *, any_hit: bool, I: int, NI: int, MP: int, C: int,
-                 RB: int):
+                 *, any_hit: bool, cheap_any: bool, need_ab: bool,
+                 kpop: int, I: int, NI: int, MP: int, C: int, RB: int):
     f32 = jnp.float32
+    SM = MP // 128        # MP is lane-padded to whole 128-lane segments
 
     def rcp(v):
         tiny = f32(1e-20)
@@ -116,8 +127,17 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
     ikey = slab6(ibb_ref, 0, I, (ox, oy, oz), (dx, dy, dz))   # (RB, I)
 
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (RB, I), 1)
+    lane1i = jax.lax.broadcasted_iota(jnp.int32, (1, I), 1)
     lane_m = jax.lax.broadcasted_iota(jnp.int32, (RB, MP), 1)
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    KC = kpop * C
+    lane_kc = jax.lax.broadcasted_iota(jnp.int32, (RB, KC), 1)
+    # rank-pick machinery for the inner batched sweep (cluster_kernel.py)
+    ltri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)).astype(f32)
+    ltriS = (jax.lax.broadcasted_iota(jnp.int32, (SM, SM), 0)
+             < jax.lax.broadcasted_iota(jnp.int32, (SM, SM), 1)).astype(f32)
+    lane_id9 = (jax.lax.broadcasted_iota(jnp.int32, (SM, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (SM, 128), 1))
 
     # lane-padding guard: a degenerate padding box can still PASS the slab
     # test (min/max per axis un-inverts it), so mask by real instance count
@@ -145,10 +165,13 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
         colmin = jnp.min(mkey, axis=0).reshape(1, I)
         i = jnp.argmin(colmin, axis=1)[0]                     # scalar inst
 
-        # world -> object transform of the whole block (t preserved: the
-        # direction is mapped by the same linear part, not renormalized)
-        mi = iminv_ref[pl.ds(i, 1), :]                        # (1, 12)
-        m = [mi[0, k] for k in range(12)]
+        # instance metadata + world->object affine from SMEM (flat 1-D:
+        # scalar loads; 2-D SMEM pads the minor dim to 128 lanes)
+        p = imeta_ref[2 * i]
+        iid = imeta_ref[2 * i + 1]
+        off = pmeta_ref[2 * p]
+        mlen = pmeta_ref[2 * p + 1]
+        m = [iminv_ref[12 * i + j] for j in range(12)]
         oxl = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
         oyl = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
         ozl = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
@@ -156,36 +179,31 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
         dyl = m[4] * dx + m[5] * dy + m[6] * dz
         dzl = m[8] * dx + m[9] * dy + m[10] * dz
 
-        meta = imeta_ref[pl.ds(i, 1), :]                      # (1, 2) i32
-        p = meta[0, 0]
-        iid = meta[0, 1]
-        pm = pmeta_ref[pl.ds(p, 1), :]                        # (1, 2) i32
-        off = pm[0, 0]
-        mlen = pm[0, 1]
-
         # inner cull: object-space block vs this prototype's cluster boxes;
         # lanes beyond the prototype's cluster count masked out (their
         # padding boxes are not guaranteed to fail the slab test)
         ckey = slab6(pbb_ref, 6 * p, MP, (oxl, oyl, ozl), (dxl, dyl, dzl))
         ckey = jnp.where(lane_m < mlen, ckey, BIG)
 
-        def icond(s2):
-            ckey, best_t, best_tri, *_ = s2
-            return jnp.any(viable(ckey, best_t, best_tri))
+        def viable9(best_t, best_tri, done9):
+            v = viable(ckey, best_t, best_tri)                # (RB, MP)
+            vrow = jnp.max(jnp.where(v, 1.0, 0.0), axis=0).reshape(1, MP)
+            v9 = jnp.concatenate(
+                [vrow[:, s * 128:(s + 1) * 128] for s in range(SM)],
+                axis=0)
+            return ((v9 > 0.5) & (done9 == 0)).astype(jnp.int32)
 
-        def ibody(s2):
-            ckey, best_t, best_tri, best_inst, best_a, best_b = s2
-            cmkey = jnp.where(viable(ckey, best_t, best_tri), ckey, BIG)
-            ccol = jnp.min(cmkey, axis=0).reshape(1, MP)
-            c = jnp.argmin(ccol, axis=1)[0]                   # local cluster
-
-            row = 3 * (off + c)
-            p0 = p0_ref[pl.ds(row, 3), :]                     # (3, C)
-            e1 = e1_ref[pl.ds(row, 3), :]
-            e2 = e2_ref[pl.ds(row, 3), :]
+        def mt_clusters(cs, best):
+            """One wide MT pass over kpop clusters in OBJECT space."""
+            best_t, best_tri, best_inst, best_a, best_b = best
+            cat = lambda ref: jnp.concatenate(
+                [ref[pl.ds(3 * c, 3), :] for c in cs], axis=1)  # (3, KC)
+            p0 = cat(p0_ref)
+            e1 = cat(e1_ref)
+            e2 = cat(e2_ref)
 
             def comp(m3, k):
-                return m3[k, :].reshape(1, C)
+                return m3[k, :].reshape(1, KC)
 
             p0x, p0y, p0z = comp(p0, 0), comp(p0, 1), comp(p0, 2)
             e1x, e1y, e1z = comp(e1, 0), comp(e1, 1), comp(e1, 2)
@@ -207,33 +225,74 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
             b = (dxl * qvx + dyl * qvy + dzl * qvz) * inv_det
             t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
-            tid = tri_ref[pl.ds(off + c, 1), :].reshape(1, C)
+            tid = jnp.concatenate(
+                [tri_ref[pl.ds(c, 1), :] for c in cs], axis=1)  # (1, KC)
             ok = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (a + b <= 1.0) \
                 & (det != 0.0) & (tid >= 0) & (t >= tmin) & (t < best_t)
-            th = jnp.where(ok, t, BIG)                        # (RB, C)
-            tmin_c = jnp.min(th, axis=1, keepdims=True)       # (RB, 1)
+
+            if cheap_any:
+                got = jnp.any(ok, axis=1, keepdims=True)
+                best_tri = jnp.where(got, 1, best_tri)
+                return (best_t, best_tri, best_inst, best_a, best_b)
+
+            th = jnp.where(ok, t, BIG)                        # (RB, KC)
+            tmin_c = jnp.min(th, axis=1, keepdims=True)
             jsel = jnp.argmin(th, axis=1).reshape(RB, 1)
             got = tmin_c < BIG
-            sel = lane_c == jsel                              # (RB, C)
+            sel = lane_kc == jsel
 
             def pick(v, old):
                 vj = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
                 return jnp.where(got, vj, old)
 
             best_t = jnp.where(got, tmin_c, best_t)
-            best_a = pick(a, best_a)
-            best_b = pick(b, best_b)
+            if need_ab:
+                best_a = pick(a, best_a)
+                best_b = pick(b, best_b)
             tidj = jnp.sum(jnp.where(sel, tid, 0), axis=1, keepdims=True)
             best_tri = jnp.where(got, tidj, best_tri)
             best_inst = jnp.where(got, iid, best_inst)
-            ckey = jnp.where(lane_m == c, BIG, ckey)          # retire cluster
-            return (ckey, best_t, best_tri, best_inst, best_a, best_b)
+            return (best_t, best_tri, best_inst, best_a, best_b)
 
-        _, best_t, best_tri, best_inst, best_a, best_b = jax.lax.while_loop(
-            icond, ibody,
-            (ckey, best_t, best_tri, best_inst, best_a, best_b))
+        def icond(s2):
+            v9, *_ = s2
+            return jnp.any(v9 > 0)
 
-        ikey = jnp.where(lane_i == i, BIG, ikey)              # retire inst
+        def ibody(s2):
+            v9, done9, best_t, best_tri, best_inst, best_a, best_b = s2
+            vb = v9 > 0
+            vf = v9.astype(f32)
+            intra = jnp.dot(vf, ltri, preferred_element_type=f32)
+            segc = jnp.sum(vf, axis=1, keepdims=True)
+            if SM > 1:
+                segoff = jnp.dot(ltriS, segc, preferred_element_type=f32)
+            else:
+                segoff = jnp.zeros((SM, 1), f32)
+            rank = (intra + segoff).astype(jnp.int32)
+            cs = []
+            for k in range(0, kpop, 2):
+                # two lane ids packed per scalar extract (15 bits each)
+                w = jnp.where(vb & (rank == k), lane_id9, 0) \
+                    + jnp.where(vb & (rank == k + 1), lane_id9 * 32768, 0)
+                jk = jnp.sum(w)
+                cs.append(off + jnp.minimum(jk & 0x7FFF, MP - 1))
+                cs.append(off + jnp.minimum(jk >> 15, MP - 1))
+            done9 = done9 | (v9 * (rank < kpop))
+            best = mt_clusters(cs, (best_t, best_tri, best_inst,
+                                    best_a, best_b))
+            best_t, best_tri, best_inst, best_a, best_b = best
+            v9 = viable9(best_t, best_tri, done9)
+            return (v9, done9, best_t, best_tri, best_inst,
+                    best_a, best_b)
+
+        done9 = jnp.zeros((SM, 128), jnp.int32)
+        v9 = viable9(best_t, best_tri, done9)
+        _, _, best_t, best_tri, best_inst, best_a, best_b = \
+            jax.lax.while_loop(icond, ibody,
+                               (v9, done9, best_t, best_tri, best_inst,
+                                best_a, best_b))
+
+        ikey = jnp.where(lane1i == i, BIG, ikey)              # retire inst
         return (ikey, best_t, best_tri, best_inst, best_a, best_b)
 
     _, best_t, best_tri, best_inst, best_a, best_b = jax.lax.while_loop(
@@ -246,10 +305,11 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
     b_out[0, 0, :] = best_b.reshape(RB)
 
 
-@partial(jax.jit, static_argnames=('any_hit', 'rb', 'interpret'))
+@partial(jax.jit, static_argnames=('any_hit', 'rb', 'interpret', 'kpop'))
 def pallas_icluster_trace(scene: Scene, o, d, time, tmin, tmax,
                           any_hit: bool = False, rb: int = DEF_RB,
-                          interpret: bool | None = None) -> Hit:
+                          interpret: bool | None = None,
+                          kpop: int = DEF_KPOP) -> Hit:
     """Trace a wavefront with the two-level instanced kernel -> Hit.
 
     Static instanced geometry only (scene.iclusters, already in kernel
@@ -266,10 +326,14 @@ def pallas_icluster_trace(scene: Scene, o, d, time, tmin, tmax,
     R = o.shape[0]
     Mtot, C = icl.tri.shape
     I = icl.ibb.shape[1]
-    P, MP = icl.pmeta.shape[0], icl.pbb.shape[1]
+    MP = icl.pbb.shape[1]
     f32 = jnp.float32
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    cheap_any = bool(any_hit) and not scene.has_alpha_maps
+    need_ab = bool(scene.has_alpha_maps)
+    assert kpop % 2 == 0, 'kpop must be even (ids are extracted in pairs)'
+    assert MP <= 32768, 'prototype too large for packed picks'
 
     tmin = jnp.broadcast_to(jnp.asarray(tmin, f32), (R,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, f32), (R,))
@@ -292,10 +356,11 @@ def pallas_icluster_trace(scene: Scene, o, d, time, tmin, tmax,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((6, I), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((I, 12), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((I, 2), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((P * 6, MP), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 2), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((icl.pbb.shape[0], MP), whole,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((Mtot * 3, C), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((Mtot * 3, C), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((Mtot * 3, C), whole, memory_space=pltpu.VMEM),
@@ -314,7 +379,8 @@ def pallas_icluster_trace(scene: Scene, o, d, time, tmin, tmax,
              tri_r, rays_r, t_o, tri_o, inst_o, a_o, b_o):
         _kernel(ibb_r, iminv_r, imeta_r, pbb_r, pmeta_r, p0_r, e1_r, e2_r,
                 tri_r, rays_r[0], t_o, tri_o, inst_o, a_o, b_o,
-                any_hit=any_hit, I=I, NI=icl.num_instances, MP=MP, C=C,
+                any_hit=any_hit, cheap_any=cheap_any, need_ab=need_ab,
+                kpop=kpop, I=I, NI=icl.num_instances, MP=MP, C=C,
                 RB=rb)
 
     vma = getattr(jax.typeof(rays), 'vma', frozenset())
@@ -331,11 +397,12 @@ def pallas_icluster_trace(scene: Scene, o, d, time, tmin, tmax,
         out_shape=[out_struct(f32), out_struct(jnp.int32),
                    out_struct(jnp.int32), out_struct(f32), out_struct(f32)],
         interpret=interpret,
-    )(jnp.asarray(icl.ibb, f32), jnp.asarray(icl.iminv, f32),
-      jnp.asarray(icl.imeta, jnp.int32), jnp.asarray(icl.pbb, f32),
-      jnp.asarray(icl.pmeta, jnp.int32), jnp.asarray(icl.p0, f32),
-      jnp.asarray(icl.e1, f32), jnp.asarray(icl.e2, f32),
-      jnp.asarray(icl.tri, jnp.int32), rays)
+    )(jnp.asarray(icl.ibb, f32), jnp.asarray(icl.iminv, f32).reshape(-1),
+      jnp.asarray(icl.imeta, jnp.int32).reshape(-1),
+      jnp.asarray(icl.pbb, f32),
+      jnp.asarray(icl.pmeta, jnp.int32).reshape(-1),
+      jnp.asarray(icl.p0, f32), jnp.asarray(icl.e1, f32),
+      jnp.asarray(icl.e2, f32), jnp.asarray(icl.tri, jnp.int32), rays)
 
     t = t.reshape(Rp)[:R]
     tri_id = tri_id.reshape(Rp)[:R]
@@ -343,5 +410,20 @@ def pallas_icluster_trace(scene: Scene, o, d, time, tmin, tmax,
     a = a.reshape(Rp)[:R]
     b = b.reshape(Rp)[:R]
     t = jnp.where(tri_id >= 0, t, MIRO_TMAX)
-    return Hit(t=t, tri=tri_id, inst=jnp.where(tri_id >= 0, inst, 0),
-               a=a, b=b)
+    inst = jnp.where(tri_id >= 0, inst, 0)
+    if not (need_ab or cheap_any):
+        # recompute barycentrics of the winning triangle in XLA (instance
+        # object space; forward-only — the whole Hit is tangent-free)
+        from .. import intersect as isect
+        p = jax.lax.stop_gradient(
+            isect.gather_tri_verts(scene, jnp.maximum(tri_id, 0), time))
+        mi = jax.lax.stop_gradient(
+            scene.instances.m_inv[jnp.maximum(inst, 0)])
+        oo = isect.transform_point(mi, o)
+        dd = isect.transform_vector(mi, d)
+        _, a, b, _ = isect.mt_intersect(oo, dd, p[..., 0, :], p[..., 1, :],
+                                        p[..., 2, :])
+        valid = tri_id >= 0
+        a = jnp.where(valid, a, 0.0)
+        b = jnp.where(valid, b, 0.0)
+    return Hit(t=t, tri=tri_id, inst=inst, a=a, b=b)

@@ -152,21 +152,27 @@ def _pallas_cluster_ok(scene: Scene) -> bool:
 
 
 def _pallas_icluster_ok(scene: Scene) -> bool:
-    """Two-level kernel eligibility: instanced tables + the per-block
-    (RB, I)/(RB, MP) cull matrices fit VMEM; the MB partition (if any) must
-    fit its own single-level kernel too."""
+    """Two-level kernel eligibility: the shared prototype tables + one
+    segment-table slice + the per-block (RB, E) cull matrix fit scoped
+    VMEM. Segment tables beyond 32767 entries are sliced inside the
+    kernel wrapper (instance count does NOT gate — that's the 1M-bunny
+    scaling path); only the prototype triangle pool can outgrow VMEM."""
     icl = scene.iclusters
     if icl is None or scene.single_level:
         return False
     from ..ops.pallas.icluster_kernel import DEF_RB
     Mtot, C = icl.tri.shape
-    I = icl.ibb.shape[1]
-    MP = icl.pbb.shape[1]
-    tables = (10 * Mtot * C + icl.pbb.size + I * 20) * 4
-    work = 2 * DEF_RB * (I + MP) * 4
-    # the MB partition is row-chunked to fit VMEM (_mb_chunks), so only the
-    # instanced tables bound eligibility
-    return tables + work <= 12 * 1024 * 1024
+    E = min(icl.sbb.shape[1], 32768)
+    tables = (10 * Mtot * C + 6 * E) * 4
+    work = 2 * DEF_RB * E * 4
+    ok = tables + work <= 13 * 1024 * 1024
+    if not ok:
+        from ..utils import console
+        console.warning(
+            f'two-level kernel ineligible: prototype tables '
+            f'{tables / 1e6:.1f} MB exceed the VMEM budget — falling back '
+            f'to the (much slower) vmap BVH tracer')
+    return ok
 
 
 def _mb_chunks(mb, has_mb: bool = True):
