@@ -66,16 +66,20 @@ def main():
     compile_s = time.time() - t0
 
     # timed runs — distinct RNG key per iteration: identical inputs would be
-    # served from the execution-result cache and time as ~0
-    n_iter = int(os.environ.get('RT_BENCH_ITERS', 2))
-    t0 = time.time()
+    # served from the execution-result cache and time as ~0. Median of
+    # several runs with the spread reported: wall time through the shared
+    # axon tunnel varies +-10-40% run to run.
+    n_iter = int(os.environ.get('RT_BENCH_ITERS', 3))
+    walls = []
     for i in range(n_iter):
+        t0 = time.time()
         loss, grads = step(jax.random.fold_in(key, 1000 + i))
         # fetch-based completion: block_until_ready through the axon tunnel
         # can return before remote execution finishes; a host fetch cannot
         float(loss)
         float(jnp.sum(grads['kd']))
-    dt = (time.time() - t0) / n_iter
+        walls.append(time.time() - t0)
+    dt = float(np.median(walls))
 
     rays = width * height * spp
     rays_per_sec = rays / dt
@@ -84,9 +88,13 @@ def main():
         'value': round(rays_per_sec, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_per_sec / REF_RAYS_PER_SEC, 3),
+        'wall_median_s': round(dt, 2),
+        'wall_spread_s': [round(min(walls), 2), round(max(walls), 2)],
+        'iters': n_iter,
     }))
-    print(f'# loss={float(loss):.6f} wall={dt:.3f}s compile={compile_s:.1f}s '
-          f'tris={scene.num_tris} bounces={bounces}', file=sys.stderr)
+    print(f'# loss={float(loss):.6f} walls={[round(w, 2) for w in walls]} '
+          f'compile={compile_s:.1f}s tris={scene.num_tris} '
+          f'bounces={bounces}', file=sys.stderr)
 
 
 if __name__ == '__main__':

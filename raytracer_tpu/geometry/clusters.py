@@ -212,12 +212,18 @@ class InstancedClusters:
     sbb: Array           # (6, E) f32 — segment WORLD boxes (lane-padded)
     smeta: Array         # (E, 3) i32 — [icl inst row, base cluster row,
                          #               scene.instances row]
+    strf: Array          # (E, 12) f32 — per-ENTRY world->object affine
+                         # (duplicates iminv so segment-table slices carry
+                         # their own transforms — SMEM per slice)
     p0: Array            # (Mtot*3, C) f32 — MT basis pool [row=3m+comp]
     e1: Array            # (Mtot*3, C)
     e2: Array            # (Mtot*3, C)
     cluster_size: int = struct.field(pytree_node=False, default=128)
     num_instances: int = struct.field(pytree_node=False, default=0)
     num_entries: int = struct.field(pytree_node=False, default=0)
+    # largest prototype's cluster count — static so the tracer choice
+    # (hierarchical vs flat segment kernel) stays a compile-time decision
+    max_proto_clusters: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_clusters(self) -> int:
@@ -322,56 +328,76 @@ def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
         chunk_lo.append(np.where(m4, lo, np.inf).min(1))
         chunk_hi.append(np.where(m4, hi, -np.inf).max(1))
 
-    # ---- flat segment table: one entry per (instance, cluster chunk)
-    sb_lo, sb_hi, sm = [], [], []
-    for k, (key, row) in enumerate(entries):
-        pidx = proto_keys[key][0]
-        t = tabs[pidx]
-        m = m_all[row]
+    # ---- instance + flat segment tables, vectorized per prototype (the
+    # many-instance scaling path: a python per-entry loop took minutes at
+    # 100k instances). One segment per (instance, KIN-cluster chunk).
+    ent_rows = np.asarray([row for (_, row) in entries], np.int64)
+    ent_pidx = np.asarray([proto_keys[key][0] for (key, _) in entries],
+                          np.int64)
+    bits = ((np.arange(8)[:, None] >> np.asarray([2, 1, 0])) & 1) \
+        .astype(np.float32)                              # (8, 3) corner mask
+
+    def world_boxes(m, lo, hi):
+        """m (k,3,4); lo/hi (nc,3) -> world lo/hi (k,nc,3) via 8 corners
+        (reference ProxyObject::getAABB, src/ProxyObject.cpp:97-130)."""
+        corners = lo[:, None] * (1 - bits)[None] \
+            + hi[:, None] * bits[None]                   # (nc, 8, 3)
+        wc = np.einsum('kij,cqj->kcqi', m[:, :, :3], corners) \
+            + m[:, None, None, :, 3]                     # (k, nc, 8, 3)
+        return wc.min(2), wc.max(2)
+
+    seg_per_proto = np.asarray([len(chunk_lo[p]) for p in range(P)])
+    ent_nseg = seg_per_proto[ent_pidx]
+    ent_seg0 = np.concatenate([[0], np.cumsum(ent_nseg)[:-1]])
+    n_ent = int(ent_nseg.sum())
+    sb_lo = np.empty((n_ent, 3), np.float32)
+    sb_hi = np.empty((n_ent, 3), np.float32)
+    sm = np.empty((n_ent, 3), np.int32)
+    for p in range(P):
+        sel = np.flatnonzero(ent_pidx == p)
+        if len(sel) == 0:
+            continue
+        m = m_all[ent_rows[sel]]                         # (k, 3, 4)
+        t = tabs[p]
         # union of REAL clusters only (KIN padding rows are 3e37 points)
         real = np.asarray(t.bb_min)[:, 0] < 1e37
-        bmn = np.asarray(t.bb_min)[real].min(0)
-        bmx = np.asarray(t.bb_max)[real].max(0)
-        # world AABB from the 8 object-box corners (reference
-        # ProxyObject::getAABB, src/ProxyObject.cpp:97-130)
-        cs = np.array([[x, y, z]
-                       for x in (bmn[0], bmx[0])
-                       for y in (bmn[1], bmx[1])
-                       for z in (bmn[2], bmx[2])], np.float32)
-        wc = cs @ m[:, :3].T + m[:, 3]
-        ibb[:3, k] = wc.min(0)
-        ibb[3:, k] = wc.max(0)
-        iminv[k] = minv_all[row].reshape(12)
-        imeta[k] = (pidx, row)
+        bmn = np.asarray(t.bb_min)[real].min(0, keepdims=True)
+        bmx = np.asarray(t.bb_max)[real].max(0, keepdims=True)
+        wlo, whi = world_boxes(m, bmn, bmx)              # (k, 1, 3)
+        ibb[:3, sel] = wlo[:, 0].T
+        ibb[3:, sel] = whi[:, 0].T
+        iminv[sel] = minv_all[ent_rows[sel]].reshape(-1, 12)
+        imeta[sel, 0] = p
+        imeta[sel, 1] = ent_rows[sel]
 
-        clo, chi = chunk_lo[pidx], chunk_hi[pidx]
-        base_c = int(proto_off[pidx])
-        for j in range(len(clo)):
-            corners = np.array([[x, y, z]
-                                for x in (clo[j][0], chi[j][0])
-                                for y in (clo[j][1], chi[j][1])
-                                for z in (clo[j][2], chi[j][2])], np.float32)
-            w = corners @ m[:, :3].T + m[:, 3]
-            sb_lo.append(w.min(0))
-            sb_hi.append(w.max(0))
-            sm.append((k, base_c + j * KIN, row))
-
-    n_ent = len(sm)
+        clo, chi = chunk_lo[p], chunk_hi[p]
+        slo, shi = world_boxes(m, clo, chi)              # (k, nc, 3)
+        nc = len(clo)
+        segids = (ent_seg0[sel][:, None]
+                  + np.arange(nc)[None]).reshape(-1)     # (k*nc,)
+        sb_lo[segids] = slo.reshape(-1, 3)
+        sb_hi[segids] = shi.reshape(-1, 3)
+        sm[segids, 0] = np.repeat(sel, nc)
+        sm[segids, 1] = int(proto_off[p]) + np.tile(
+            np.arange(nc) * KIN, len(sel))
+        sm[segids, 2] = np.repeat(ent_rows[sel], nc)
     E = -(-n_ent // 128) * 128
     sbb = np.empty((6, E), np.float32)
     sbb[:3] = NEVER_LO
     sbb[3:] = NEVER_HI
-    sbb[:3, :n_ent] = np.asarray(sb_lo, np.float32).T
-    sbb[3:, :n_ent] = np.asarray(sb_hi, np.float32).T
+    sbb[:3, :n_ent] = sb_lo.T
+    sbb[3:, :n_ent] = sb_hi.T
     smeta = np.zeros((E, 3), np.int32)
-    smeta[:n_ent] = np.asarray(sm, np.int32)
+    smeta[:n_ent] = sm
+    strf = np.tile(np.eye(3, 4, dtype=np.float32).reshape(1, 12), (E, 1))
+    strf[:n_ent] = iminv[smeta[:n_ent, 0]]
 
     return InstancedClusters(
         ibb=ibb, iminv=iminv.astype(np.float32), imeta=imeta,
         pbb=pbb, pmeta=pmeta, tri=tri,
-        sbb=sbb, smeta=smeta, p0=p0, e1=e1, e2=e2,
-        cluster_size=C, num_instances=n_inst,
-        num_entries=n_ent), mb_clusters
+        sbb=sbb, smeta=smeta, strf=strf, p0=p0, e1=e1, e2=e2,
+        cluster_size=C, num_instances=n_inst, num_entries=n_ent,
+        max_proto_clusters=int(proto_len.max())), mb_clusters
 
 
 def refresh_clusters(clusters: Clusters, geom, mb: bool) -> Clusters:

@@ -48,7 +48,7 @@ DEF_RB = 32
 DEF_KPOP = 4       # segments per batched pass (= kpop*KIN clusters)
 
 
-def _kernel(sbb_ref, smeta_ref, iminv_ref, p0_ref, e1_ref, e2_ref, tri_ref,
+def _kernel(sbb_ref, smeta_ref, strf_ref, p0_ref, e1_ref, e2_ref, tri_ref,
             rays_ref, t_out, tri_out, inst_out, a_out, b_out,
             *, any_hit: bool, cheap_any: bool, need_ab: bool, kpop: int,
             kin: int, E: int, S: int, C: int, RB: int):
@@ -72,14 +72,14 @@ def _kernel(sbb_ref, smeta_ref, iminv_ref, p0_ref, e1_ref, e2_ref, tri_ref,
     @pl.when(jnp.any(tmax > 0.0))
     def _block_body():
         _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
-                     sbb_ref, smeta_ref, iminv_ref, p0_ref, e1_ref, e2_ref,
+                     sbb_ref, smeta_ref, strf_ref, p0_ref, e1_ref, e2_ref,
                      tri_ref, t_out, tri_out, inst_out, a_out, b_out,
                      any_hit=any_hit, cheap_any=cheap_any, need_ab=need_ab,
                      kpop=kpop, kin=kin, E=E, S=S, C=C, RB=RB)
 
 
 def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
-                 sbb_ref, smeta_ref, iminv_ref, p0_ref, e1_ref, e2_ref,
+                 sbb_ref, smeta_ref, strf_ref, p0_ref, e1_ref, e2_ref,
                  tri_ref, t_out, tri_out, inst_out, a_out, b_out,
                  *, any_hit: bool, cheap_any: bool, need_ab: bool,
                  kpop: int, kin: int, E: int, S: int, C: int, RB: int):
@@ -136,10 +136,9 @@ def _trace_block(ox, oy, oz, dx, dy, dz, tmin, tmax,
         for e in es:
             # SMEM tables are FLAT 1-D (2-D SMEM pads the minor dim to
             # 128 lanes — a (E, 3) window allocates E*512 bytes)
-            ki = smeta_ref[3 * e]                          # icl inst row
             rw = smeta_ref[3 * e + 1]                      # base cluster row
             srow = smeta_ref[3 * e + 2]                    # scene inst row
-            m = [iminv_ref[12 * ki + j] for j in range(12)]
+            m = [strf_ref[12 * e + j] for j in range(12)]  # per-ENTRY
             # world -> object; t preserved (direction not renormalized)
             oxl.append(m[0] * ox + m[1] * oy + m[2] * oz + m[3] + zcwR)
             oyl.append(m[4] * ox + m[5] * oy + m[6] * oz + m[7] + zcwR)
@@ -325,7 +324,7 @@ def pallas_iseg_trace(scene: Scene, o, d, time, tmin, tmax,
         except TypeError:  # older jax without the vma kwarg
             return jax.ShapeDtypeStruct((nb, 1, rb), dtype)
 
-    def run_slice(sbb, smeta, E_s):
+    def run_slice(sbb, smeta, strf, E_s):
         S = E_s // 128
         whole = lambda i: (0, 0)
         grid_spec = pl.GridSpec(
@@ -348,9 +347,9 @@ def pallas_iseg_trace(scene: Scene, o, d, time, tmin, tmax,
             ],
         )
 
-        def kern(sbb_r, smeta_r, iminv_r, p0_r, e1_r, e2_r, tri_r, rays_r,
+        def kern(sbb_r, smeta_r, strf_r, p0_r, e1_r, e2_r, tri_r, rays_r,
                  t_o, tri_o, inst_o, a_o, b_o):
-            _kernel(sbb_r, smeta_r, iminv_r, p0_r, e1_r, e2_r, tri_r,
+            _kernel(sbb_r, smeta_r, strf_r, p0_r, e1_r, e2_r, tri_r,
                     rays_r[0], t_o, tri_o, inst_o, a_o, b_o,
                     any_hit=any_hit, cheap_any=cheap_any, need_ab=need_ab,
                     kpop=kpop, kin=KIN, E=E_s, S=S, C=C, RB=rb)
@@ -363,7 +362,7 @@ def pallas_iseg_trace(scene: Scene, o, d, time, tmin, tmax,
                        out_struct(f32)],
             interpret=interpret,
         )(sbb, jnp.asarray(smeta, jnp.int32).reshape(-1),
-          jnp.asarray(icl.iminv, f32).reshape(-1), jnp.asarray(icl.p0, f32),
+          jnp.asarray(strf, f32).reshape(-1), jnp.asarray(icl.p0, f32),
           jnp.asarray(icl.e1, f32), jnp.asarray(icl.e2, f32),
           jnp.asarray(icl.tri, jnp.int32), rays)
 
@@ -372,12 +371,15 @@ def pallas_iseg_trace(scene: Scene, o, d, time, tmin, tmax,
     # the shared prototype tables (measured ~3 live (RB, E)-sized values)
     tables_b = (10 * Mtot * C + 128) * 4
     avail = 10 * 1024 * 1024 - tables_b
-    SLICE = min(32768 - 128, max(1024, avail // (3 * rb * 4) // 128 * 128))
+    # SMEM bound: per-slice smeta (3 i32) + strf (12 f32) rows, ~900 KB cap
+    smem_cap = 900 * 1024 // ((3 + 12) * 4) // 128 * 128
+    SLICE = min(32768 - 128, smem_cap,
+                max(1024, avail // (3 * rb * 4) // 128 * 128))
     outs = None
     for lo in range(0, E, SLICE):
         hi = min(lo + SLICE, E)
         res = run_slice(jnp.asarray(icl.sbb, f32)[:, lo:hi],
-                        icl.smeta[lo:hi], hi - lo)
+                        icl.smeta[lo:hi], icl.strf[lo:hi], hi - lo)
         if outs is None:
             outs = res
         else:

@@ -269,7 +269,18 @@ def trace_fn(scene: Scene, settings: RenderSettings):
         # two-level instanced kernel (+ separate MB pass, merged by t),
         # alpha-cutout handled by the re-trace wrapper
         from ..ops.pallas import icluster_kernel as ick
+        from ..ops.pallas import iseg_kernel as isg
         from ..ops.pallas import cluster_kernel as ck
+
+        # shallow prototypes -> flat segment kernel (instances batched
+        # into each MT pass; segment-table slices scale past 100k
+        # instances); deep prototypes (forest trees: hundreds of clusters
+        # each) -> hierarchical kernel, whose instance-level cull skips
+        # whole trees instead of testing every chunk box
+        if scene.iclusters.max_proto_clusters <= 16:
+            inst_trace = isg.pallas_iseg_trace
+        else:
+            inst_trace = ick.pallas_icluster_trace
 
         def trace_mb(o, d, time, tmin, tmax, any_hit, h):
             for tab in _mb_chunks(scene.mb_clusters):
@@ -280,8 +291,7 @@ def trace_fn(scene: Scene, settings: RenderSettings):
             return h
 
         def base(o, d, time, tmin, tmax, any_hit):
-            h = ick.pallas_icluster_trace(scene, o, d, time, tmin, tmax,
-                                          any_hit)
+            h = inst_trace(scene, o, d, time, tmin, tmax, any_hit)
             if scene.mb_clusters is not None:
                 h = trace_mb(o, d, time, tmin, tmax, any_hit, h)
             return h
@@ -309,8 +319,7 @@ def trace_fn(scene: Scene, settings: RenderSettings):
                                 jax.lax.stop_gradient(h_mb.t))
 
             def inst_only(o_, d_, t_, tn_, tx_, ah):
-                return ick.pallas_icluster_trace(scene, o_, d_, t_, tn_,
-                                                 tx_, ah)
+                return inst_trace(scene, o_, d_, t_, tn_, tx_, ah)
 
             h = ct.alpha_aware_trace(scene, inst_only, o, d, time, tmin,
                                      tmax2, any_hit)

@@ -128,6 +128,43 @@ def test_forest_cluster2_matches_bvh():
     np.testing.assert_array_equal(ib[hit], ip[hit])
 
 
+def test_instanced_grid_segment_kernel_matches_bvh():
+    """Shallow-prototype scenes route to the flat segment kernel
+    (iseg_kernel), which batches several instances into each MT pass and
+    slices its table past 32k entries — the instance-count scaling path
+    (reference 1M bunnies, webpage 'Instancing'). Hit-for-hit vs BVH."""
+    from raytracer_tpu.ops.pallas import iseg_kernel
+
+    scene, cam, st = registry.make('instanced_grid', size=16, n=300)
+    icl = scene.iclusters
+    assert icl.max_proto_clusters <= 16      # -> segment kernel selected
+    assert icl.num_entries >= 300            # >= 1 segment per instance
+    o, d, time = _random_rays(scene, 256, 9)
+    hb = traverse.bvh_trace(scene, o, d, time, 1e-3, 1e12, False)
+    hp = iseg_kernel.pallas_iseg_trace(scene, o, d, time, 1e-3, 1e12, False)
+    tb, tp = np.asarray(hb.t), np.asarray(hp.t)
+    np.testing.assert_array_equal(tb >= 1e11, tp >= 1e11)
+    hit = tb < 1e11
+    np.testing.assert_allclose(tb[hit], tp[hit], rtol=1e-4, atol=1e-5)
+    same = np.asarray(hb.tri) == np.asarray(hp.tri)
+    assert same[hit].mean() > 0.99
+    np.testing.assert_array_equal(np.asarray(hb.inst)[hit & same],
+                                  np.asarray(hp.inst)[hit & same])
+
+
+def test_instance_count_does_not_gate_kernel_path():
+    """Regression for the round-4 VMEM cliff: eligibility used to fail once
+    the (RB, I) instance cull matrix outgrew scoped VMEM (~2k instances),
+    silently dropping to the ~10-25x slower vmap BVH path. The segment
+    table is now sliced inside the kernel wrapper, so instance count never
+    disqualifies the kernel path."""
+    from raytracer_tpu.render.integrator import _pallas_icluster_ok
+
+    scene, cam, st = registry.make('instanced_grid', size=16, n=2500)
+    assert scene.iclusters.num_instances >= 2500
+    assert _pallas_icluster_ok(scene)
+
+
 def test_icluster_mb_split_and_merge():
     """Instances + motion-blurred world geometry: the static two-level pass
     and the MB single-level pass merge to the BVH result."""
