@@ -21,6 +21,49 @@ import time
 import numpy as np
 
 
+def _start_preview_server(port: int, out_path: str):
+    """Tiny stdlib HTTP preview: / auto-refreshes an <img> of the latest
+    progressive batch (out_path + '.png')."""
+    import http.server
+    import threading
+
+    page = (b'<html><head><title>raytracer_tpu preview</title></head>'
+            b'<body style="background:#111;margin:0">'
+            b'<img id="f" style="width:100%;image-rendering:pixelated" '
+            b'src="/frame.png">'
+            b'<script>setInterval(()=>{document.getElementById("f").src='
+            b'"/frame.png?"+Date.now();},1000);</script></body></html>')
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith('/frame.png'):
+                try:
+                    with open(out_path + '.png', 'rb') as f:
+                        data = f.read()
+                    self.send_response(200)
+                    self.send_header('Content-Type', 'image/png')
+                except FileNotFoundError:
+                    self.send_response(404)
+                    data = b''
+                    self.send_header('Content-Type', 'text/plain')
+            else:
+                self.send_response(200)
+                data = page
+                self.send_header('Content-Type', 'text/html')
+            self.send_header('Content-Length', str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(('127.0.0.1', port), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    from .utils import console
+    console.info('live preview at http://127.0.0.1:%d/', port)
+    return srv
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description='raytracer_tpu renderer')
     p.add_argument('--scene', default='cornell_pt')
@@ -45,6 +88,18 @@ def main(argv=None):
                    action='store_true')
     p.add_argument('--no-path-trace', dest='path_trace', action='store_false')
     p.add_argument('--brute-force', action='store_true')
+    p.add_argument('--progressive', type=int, default=0, metavar='SPP_BATCH',
+                   help='render --spp samples in batches of SPP_BATCH, '
+                        'rewriting --out and printing a stats line after '
+                        'each batch (the reference MiroWindow progressive '
+                        'blit, src/MiroWindow.cpp:471-488)')
+    p.add_argument('--ckpt', default=None,
+                   help='with --progressive: checkpoint path; interrupting '
+                        'and rerunning resumes and produces the identical '
+                        'final image')
+    p.add_argument('--serve', type=int, default=0, metavar='PORT',
+                   help='with --progressive: serve a live PNG preview at '
+                        'http://localhost:PORT')
     args = p.parse_args(argv)
 
     from .scenes import registry
@@ -101,7 +156,28 @@ def main(argv=None):
                  'adaptive' if args.adaptive else f'{args.spp}spp',
                  scene.num_tris, jax.devices()[0].platform)
     t0 = time.time()
-    if args.adaptive:
+    if args.progressive:
+        from .utils import checkpoint as ckpt_mod
+        server = _start_preview_server(args.serve, args.out) \
+            if args.serve else None
+        W, H = settings.width, settings.height
+
+        def on_batch(mean_img, done, total):
+            u8 = np.asarray(rt.to_u8(np.asarray(mean_img)))
+            imageio.write_ppm(args.out, u8)
+            if server is not None:
+                imageio.write_png(args.out + '.png', u8)
+            spp_done = done * args.progressive
+            console.info('progressive: %d/%d spp  %.1fs elapsed  '
+                         '(%.0f rays/s)  -> %s', spp_done, args.spp,
+                         time.time() - t0,
+                         W * H * spp_done / (time.time() - t0), args.out)
+
+        img = ckpt_mod.render_progressive(
+            scene, cam, settings, key, spp_total=args.spp,
+            spp_batch=args.progressive, ckpt_path=args.ckpt,
+            on_batch=on_batch)
+    elif args.adaptive:
         img = rt.render_adaptive(scene, cam, settings, key)
     else:
         img = rt.render(scene, cam, settings, key, spp=args.spp)

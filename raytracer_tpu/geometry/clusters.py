@@ -255,11 +255,16 @@ def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
         if inst['tris'] is not None:
             tri_ids = np.asarray(inst['tris'], np.int64)
             is_mb = face_mb[tri_ids]
-            mb_world = tri_ids[is_mb]
+            # accumulate MB triangles across world entries and key world
+            # prototypes by their triangle content (SceneBuilder currently
+            # emits one world entry, but a second must not silently alias
+            # the first's geometry or drop its MB triangles)
+            mb_world = (tri_ids[is_mb] if mb_world is None else
+                        np.concatenate([mb_world, tri_ids[is_mb]]))
             tri_ids = tri_ids[~is_mb]
             if len(tri_ids) == 0:
                 continue  # world geometry entirely MB
-            key = ('world',)
+            key = ('world', tri_ids.tobytes())
         else:
             lo, hi = inst['lo'], inst['hi']
             tri_ids = np.arange(lo, hi, dtype=np.int64)

@@ -122,6 +122,29 @@ def write_ppm(path: str, pixels_u8: np.ndarray) -> None:
         f.write(np.ascontiguousarray(pixels_u8[::-1]).tobytes())
 
 
+def write_png(path: str, pixels_u8: np.ndarray) -> None:
+    """Minimal zlib PNG writer (8-bit RGB) for the --serve live preview —
+    browsers don't render PPM. Flips vertically like write_ppm (framebuffer
+    row 0 is the bottom scanline, src/Image.cpp:137-153)."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels_u8.shape
+    img = np.ascontiguousarray(pixels_u8[::-1])
+    raw = b''.join(b'\x00' + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack('>I', len(data)) + tag + data
+                + struct.pack('>I', zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack('>IIBBBBB', w, h, 8, 2, 0, 0, 0)
+    with open(path, 'wb') as f:
+        f.write(b'\x89PNG\r\n\x1a\n')
+        f.write(chunk(b'IHDR', ihdr))
+        f.write(chunk(b'IDAT', zlib.compress(raw, 6)))
+        f.write(chunk(b'IEND', b''))
+
+
 def load_hdr(path: str) -> tuple[np.ndarray, int]:
     """Radiance RGBE .hdr -> (H, W, 3) float32 (src/hdrloader.cpp:29-191).
 

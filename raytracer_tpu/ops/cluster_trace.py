@@ -168,6 +168,15 @@ def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
     stacked transparent surfaces) keep their LAST transparent hit rather
     than reporting a miss, so deep cutout stacks shade slightly wrong
     instead of leaking the background through geometry.
+
+    Follow-up passes run on a SHRINKING STATIC PREFIX: live rays are
+    stable-partitioned to the front (two cumsums + a scatter) and pass p
+    traces/updates only the first max(4096, R >> (p+1)) rows — the forest
+    canopy's live set decays 13%, 7%, 4%, ... per pass, but full-wavefront
+    gathers/alpha lookups/state updates cost ~30-45 ms per pass at 130k
+    rays, which made the 12-pass chain ~7x the raw trace. Live rays past
+    a pass's budget simply wait (the partition is stable), consuming a
+    pass of the budget — the same exhaustion fallback as before.
     """
     R = o.shape[0]
     f32 = o.dtype
@@ -176,8 +185,7 @@ def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, f32), (R,)) + zero
     time_b = jnp.broadcast_to(jnp.asarray(time, f32), (R,)) + zero
 
-    init = dict(
-        passes=jnp.zeros((), jnp.int32) + zero[0].astype(jnp.int32),
+    s = dict(
         tmin=tmin0,
         done=zero > 1.0,
         t=zero + MIRO_TMAX,
@@ -186,24 +194,12 @@ def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
         a=zero, b=zero,
     )
 
-    def cond(s):
-        return (s['passes'] < max_passes) & jnp.any(~s['done'])
+    def update(s, hit, sel):
+        """Fold one pass's hits (rows `sel`, or all when sel is None)."""
+        def read(x):
+            return x if sel is None else x[sel]
 
-    def body(s):
-        # done rays become instant misses (tmax < 0 fails every slab test)
-        # so later passes only pay for rays still marching through cutouts.
-        # COMPACT live rays to the front first: the Pallas kernels skip
-        # whole all-dead blocks, but the march's survivors are scattered
-        # across the wavefront — without the permutation nearly every
-        # 32-ray block keeps one live ray and re-traces at full cost
-        # (measured 12.9x the raw kernel on the forest canopy; ~3x after)
-        tmax_eff = jnp.where(s['done'], jnp.float32(-1.0), tmax_b)
-        perm = jnp.argsort(s['done'].astype(jnp.int32), stable=True)
-        inv = jnp.argsort(perm)
-        hit = trace_once(o[perm], d[perm], time_b[perm], s['tmin'][perm],
-                         tmax_eff[perm], any_hit)
-        hit = jax.tree_util.tree_map(lambda x: x[inv], hit)
-        live = ~s['done']
+        live = ~read(s['done'])
         valid = hit.valid
         alpha = _alpha_of(scene, jnp.maximum(hit.tri, 0), hit.a, hit.b)
         opaque = valid & (alpha >= 0.5)
@@ -214,17 +210,48 @@ def alpha_aware_trace(scene: Scene, trace_once, o, d, time, tmin, tmax,
         # transparent hit stands in for the (never found) opaque one; a
         # subsequent miss clears it again (the ray exits through the hole)
         take = accept | cutout
-        t = jnp.where(miss, MIRO_TMAX, jnp.where(take, hit.t, s['t']))
-        tri = jnp.where(miss, -1, jnp.where(take, hit.tri, s['tri']))
-        inst = jnp.where(take, hit.inst, s['inst'])
-        a = jnp.where(take, hit.a, s['a'])
-        b = jnp.where(take, hit.b, s['b'])
+        t = jnp.where(miss, MIRO_TMAX, jnp.where(take, hit.t, read(s['t'])))
+        tri = jnp.where(miss, -1, jnp.where(take, hit.tri, read(s['tri'])))
+        inst = jnp.where(take, hit.inst, read(s['inst']))
+        a = jnp.where(take, hit.a, read(s['a']))
+        b = jnp.where(take, hit.b, read(s['b']))
         # advance past the transparent hit (relative + absolute epsilon)
-        tmin_new = jnp.where(cutout, hit.t * (1.0 + 1e-4) + 1e-4, s['tmin'])
-        return dict(passes=s['passes'] + 1, tmin=tmin_new,
-                    done=s['done'] | accept | miss,
-                    t=t, tri=tri, inst=inst, a=a, b=b)
+        tmin_new = jnp.where(cutout, hit.t * (1.0 + 1e-4) + 1e-4,
+                             read(s['tmin']))
+        done = read(s['done']) | accept | miss
+        new = dict(tmin=tmin_new, done=done, t=t, tri=tri, inst=inst,
+                   a=a, b=b)
+        if sel is None:
+            return new
+        return {k: s[k].at[sel].set(v) for k, v in new.items()}
 
-    s = jax.lax.while_loop(cond, body, init)
+    # pass 0: everyone
+    hit = trace_once(o, d, time_b, s['tmin'], tmax_b, any_hit)
+    s = update(s, hit, None)
+
+    def one_pass(s, Rp):
+        # stable partition: live rays to the front
+        live = (~s['done']).astype(jnp.int32)
+        cl = jnp.cumsum(live)
+        cd = jnp.cumsum(1 - live)
+        pos = jnp.where(live > 0, cl - 1, cl[-1] + cd - 1)  # dest slot
+        perm = jnp.zeros_like(pos).at[pos].set(
+            jnp.arange(R, dtype=pos.dtype))
+        sel = perm[:Rp]
+        tmax_eff = jnp.where(s['done'][sel], jnp.float32(-1.0),
+                             tmax_b[sel])
+        hit = trace_once(o[sel], d[sel], time_b[sel], s['tmin'][sel],
+                         tmax_eff, any_hit)
+        return update(s, hit, sel)
+
+    for p in range(1, max_passes):
+        Rp = min(R, max(4096, R >> (p + 1)))
+        Rp = -(-Rp // 256) * 256 if Rp < R else R
+        # skip the whole pass once every ray is settled (e.g. shadow
+        # wavefronts that finish in one or two passes)
+        s = jax.lax.cond(jnp.any(~s['done']),
+                         lambda s, Rp=Rp: one_pass(s, Rp),
+                         lambda s: s, s)
+
     return Hit(t=s['t'], tri=s['tri'], inst=s['inst'],
                a=s['a'], b=s['b'])

@@ -162,9 +162,17 @@ def _pallas_icluster_ok(scene: Scene) -> bool:
         return False
     from ..ops.pallas.icluster_kernel import DEF_RB
     Mtot, C = icl.tri.shape
-    E = min(icl.sbb.shape[1], 32768)
-    tables = (10 * Mtot * C + 6 * E) * 4
-    work = 2 * DEF_RB * E * 4
+    tables = (10 * Mtot * C) * 4
+    if icl.max_proto_clusters <= 16:
+        # segment kernel: the wrapper slices its own (RB, E) working set
+        work = 3 * 1024 * 1024
+    else:
+        # hierarchical kernel: whole (RB, I) instance keys + (RB, MP)
+        # prototype cull live at once, plus pbb
+        I = icl.ibb.shape[1]
+        MP = icl.pbb.shape[1]
+        tables += icl.pbb.size * 4
+        work = 3 * DEF_RB * (I + MP) * 4
     ok = tables + work <= 13 * 1024 * 1024
     if not ok:
         from ..utils import console

@@ -648,9 +648,14 @@ def final_forest(width=1920, height=1080, bvh=True, n_trees=200,
             x, z = rng.random(), rng.random()
             if x * x + z * z <= 1.0:
                 break
-        # reference makeFlowers (src/main.cpp:87-90): m.rotate(y,..) then
-        # m *= rotateX -> composition rotY @ rotX (the tilt axis spins with
-        # the yaw); RNG draw order unchanged (translate, scale, tilt, yaw)
+        # reference makeFlowers (src/main.cpp:87-90): rotY then rotX (the
+        # tilt axis spins with the yaw); RNG draw order unchanged
+        # (translate, scale, tilt, yaw). DELIBERATE DEVIATION: the scale
+        # here is a proper S applied before rotation (trans @ sc @ R),
+        # whereas the reference's Matrix4x4::scale only multiplies the
+        # diagonal entries of the already-rotated matrix
+        # (src/Matrix4x4.h:757-762) — a shear-y scale quirk, not S*R.
+        # Cosmetic flower-shape difference only.
         trans = tf.translate(cam_eye[0] + x * 10.0,
                              rng.random() * 0.05 - 0.025,
                              cam_eye[2] - z * 10.0)

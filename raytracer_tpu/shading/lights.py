@@ -22,9 +22,11 @@ Known deliberate deviations from the reference, kept for batching/sanity:
 The reference's per-light ADAPTIVE sample loops are mirrored per ray:
 noise-threshold early cutoff (src/RectangleLight.cpp:117-124,
 src/DomeLight.cpp:147-151 — RenderSettings.light_noise_cutoff, off by
-default) and the 1-sample-on-secondary rule (src/DomeLight.cpp:89 —
-RenderSettings.light_secondary_single, on by default) as masked lanes whose
-per-ray sample counts divide the mean.
+default) and the 1-sample-on-secondary rule (RenderSettings.
+light_secondary_single, on by default) as masked lanes whose per-ray
+sample counts divide the mean. The secondary rule applies to the DOME
+light only, matching the reference: DomeLight::sampleLight checks
+isSecondary (src/DomeLight.cpp:89); RectangleLight ignores it.
 
 Every sampler takes `tracer(o, d, time, tmin, tmax, any_hit) -> Hit` so the
 same code runs on the brute-force or BVH backend.
@@ -167,9 +169,11 @@ def sample_rect_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
 
     Per-ray adaptive sampling mirrors the reference's do/while loop
     (src/RectangleLight.cpp:53-133): a ray stops sampling this light when
-    (E * 1/samples_done).average() < noise_cutoff, and rays in single_mask
-    (secondary) stop after 1 sample (src/DomeLight.cpp:89 rule); its mean
-    divides by the per-ray samples actually drawn.
+    (E * 1/samples_done).average() < noise_cutoff; its mean divides by the
+    per-ray samples actually drawn. single_mask (1 sample on secondary
+    rays) is accepted for API symmetry but direct_light passes None for
+    rect lights: only DomeLight implements isSecondary in the reference
+    (src/DomeLight.cpp:89); RectangleLight ignores it.
     """
     R = P.shape[0]
     power_sum = jnp.zeros((R, 3), P.dtype)
@@ -344,9 +348,13 @@ def sample_all_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
     if scene.rect_lights.v1.shape[0] > 0:
         ns = 1 if secondary else scene.rect_lights.num_samples
         key, sub = jax.random.split(key)
+        # NO single_mask here: only DomeLight implements the isSecondary
+        # 1-sample rule in the reference (src/DomeLight.cpp:89);
+        # RectangleLight::sampleLight always draws m_numSamples
+        # (src/RectangleLight.cpp:53-133)
         p, s, b = sample_rect_lights(scene, tracer, P, N, rvec, spec_exp,
                                      time, sub, ns, segs, want_back, active,
-                                     cutoff, secondary_mask)
+                                     cutoff, None)
         total += p
         spec += s
         back += b

@@ -78,13 +78,18 @@ def load_state(path: str, like_tree):
 def render_progressive(scene: Scene, cam: Camera, settings: RenderSettings,
                        key: jax.Array, spp_total: int, spp_batch: int = 1,
                        ckpt_path: str | None = None, save_every: int = 1,
-                       log: bool = False):
+                       log: bool = False, on_batch=None):
     """Render spp_total samples in batches, checkpointing between batches.
 
     Resumable: if `ckpt_path` exists, accumulation continues from the saved
     batch cursor (identical final image to an uninterrupted run — each batch
     folds its index into the key, so batch streams are independent of
     start/stop boundaries).
+
+    on_batch(mean_img_u8ready (H,W,3) f32, batches_done, n_batches) is
+    called after every batch — the progressive front end (cli --progressive)
+    writes the current image + a stats line from it (the reference's
+    progressive GL blit, src/MiroWindow.cpp:471-488).
 
     Returns the averaged (H, W, 3) image.
     """
@@ -114,6 +119,9 @@ def render_progressive(scene: Scene, cam: Camera, settings: RenderSettings,
             jax.block_until_ready(acc)
             save_state(ckpt_path, np.asarray(acc), batches_done=bi + 1,
                        spp_batch=spp_batch)
+        if on_batch is not None:
+            on_batch(np.asarray(acc) / ((bi + 1) * spp_batch), bi + 1,
+                     n_batches)
         if log:
             console.debug('batch %d/%d done', bi + 1, n_batches)
 

@@ -94,8 +94,17 @@ def main():
             jax.block_until_ready(img)
             return float(jnp.sum(img))
 
-    # on a distributed run every process must execute every count together
-    counts = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= n_avail]
+    # on a distributed run every process must execute every count together,
+    # AND every process must own devices of every mesh: a mesh over the
+    # first n global devices with n < total leaves some processes
+    # device-less, which multi-process jax rejects or hangs on. Restrict
+    # distributed sweeps to multiples of (local devices x processes).
+    if args.distributed:
+        quantum = jax.local_device_count() * jax.process_count()
+        counts = [n for n in (1, 2, 4, 8, 16, 32, 64)
+                  if n <= n_avail and n % quantum == 0]
+    else:
+        counts = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= n_avail]
     results = []
     for n in counts:
         mesh = make_mesh(n)

@@ -83,6 +83,34 @@ def test_progressive_resume_identical(tmp_path):
     assert not np.allclose(np.asarray(part), np.asarray(resumed))
 
 
+def test_progressive_cli_resume_identical(tmp_path):
+    """The --progressive CLI front end: interrupting (first invocation with
+    a lower --spp) and resuming via --ckpt produces the identical image to
+    one uninterrupted run, and intermediate images are written after every
+    batch (the reference MiroWindow progressive blit + screenshot,
+    src/MiroWindow.cpp:471-488)."""
+    from raytracer_tpu import cli
+    from raytracer_tpu.io import imageio
+
+    out1 = str(tmp_path / 'a.ppm')
+    out2 = str(tmp_path / 'b.ppm')
+    ck = str(tmp_path / 'prog.npz')
+    base = ['--scene', 'triangle_sphere', '--size', '8', '--seed', '7']
+    # uninterrupted 4-spp progressive render
+    assert cli.main(base + ['--spp', '4', '--progressive', '2',
+                            '--out', out1]) == 0
+    # interrupted after 2 spp, then resumed to 4
+    assert cli.main(base + ['--spp', '2', '--progressive', '2',
+                            '--out', out2, '--ckpt', ck]) == 0
+    mid, _ = imageio.load_ppm(out2)
+    assert cli.main(base + ['--spp', '4', '--progressive', '2',
+                            '--out', out2, '--ckpt', ck]) == 0
+    a, _ = imageio.load_ppm(out1)
+    b, _ = imageio.load_ppm(out2)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(mid, b)  # the intermediate write differed
+
+
 def test_train_state_roundtrip(tmp_path):
     import optax
     params = dict(w=jnp.ones((3,)))
