@@ -199,6 +199,12 @@ class EdgeTable:
     sampling for d(loss)/d(vertices) across silhouettes)."""
     vid: Array           # (E, 2) i32 — endpoint vertex ids
     fid: Array           # (E, 2) i32 — adjacent face ids, -1 = open boundary
+    # instanced scenes: flat (instance, edge) pair enumeration — each
+    # prototype edge appears once PER instance; silhouette classification
+    # and screen velocity are instance-transformed (diff/edges.py). None
+    # for single-level scenes (every edge pairs with the identity).
+    pair_inst: Optional[Array] = None   # (P, ) i32 — scene.instances row
+    pair_edge: Optional[Array] = None   # (P, ) i32 — edge id into vid/fid
 
 
 EPS_SHUTTER = 1e-3  # reference Camera ctor m_shutterSpeed = epsilon

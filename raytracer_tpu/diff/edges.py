@@ -13,10 +13,15 @@ with f the radiance just on either side of the projected edge, n the
 screen-space edge normal, v = dx/dtheta the screen velocity of the edge
 point, and the integral taken in pixel units against the box pixel filter.
 
-Scope (v1, documented): primary visibility of single-level static scenes,
-pinhole camera (no DOF/motion blur); secondary (shadow/GI) discontinuities
-are not sampled. The reference has no analogue — this is new capability
-(BASELINE north star).
+Scope (documented): primary visibility of static scenes — single-level
+AND instanced (round 5: each prototype edge is sampled per instance from
+a flat (instance, edge) pair table, with silhouette classification in
+object space and velocities chained through the instance transform to the
+shared prototype vertices; scenes beyond the 2M-pair enumeration cap fall
+back to interior-only gradients). Pinhole camera (no DOF/motion blur);
+shadow-edge sampling (below) covers point-light hard shadows for
+single-level scenes; GI discontinuities are not sampled. The reference
+has no analogue — this is new capability (BASELINE north star).
 """
 from __future__ import annotations
 
@@ -106,26 +111,60 @@ def edge_sampling_vertex_grad(scene: Scene, cam: Camera,
     if scene.edges is None:
         raise ValueError(
             'scene has no edge table (scene.edges is None) — edge-sampled '
-            'visibility gradients need build_edge_table, which SceneBuilder '
-            'only constructs for single-level scenes; use the interior-only '
-            'gradient (sharding.loss_and_grads_scanned) for instanced scenes')
+            'visibility gradients need build_edge_table (dropped above the '
+            'instanced pair-enumeration cap); use the interior-only '
+            'gradient (sharding.loss_and_grads_scanned) for such scenes')
     W, H = settings.width, settings.height
     g = scene.geom
     verts = jnp.asarray(g.vertices)
     et: EdgeTable = scene.edges
-    vid = jnp.asarray(et.vid)
-    fid = jnp.asarray(et.fid)
-    E = vid.shape[0]
     tracer = integrator.trace_fn(scene, settings)
+    instanced = (not scene.single_level) and et.pair_inst is not None
 
-    # ---- silhouette classification from CURRENT vertex values
     fv = jnp.asarray(g.face_v)
     p = verts[fv]                                          # (T, 3, 3)
     face_n = jnp.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])  # (T, 3)
-    a = verts[vid[:, 0]]
-    b = verts[vid[:, 1]]
-    mid = 0.5 * (a + b)
-    view = mid - cam.eye
+
+    if instanced:
+        # the sampling domain is the flat (instance, edge) pair table: a
+        # prototype edge is a DIFFERENT silhouette curve per instance.
+        # vid/fid/verts stay in object space; world positions, silhouette
+        # classification (object-space eye) and screen velocities chain
+        # through each pair's instance transform.
+        pid = jnp.asarray(et.pair_inst)
+        vid = jnp.asarray(et.vid)[jnp.asarray(et.pair_edge)]   # (P, 2)
+        fid = jnp.asarray(et.fid)[jnp.asarray(et.pair_edge)]
+        m_pair = jax.lax.stop_gradient(
+            jnp.asarray(scene.instances.m))[pid]               # (P, 3, 4)
+        minv_pair = jax.lax.stop_gradient(
+            jnp.asarray(scene.instances.m_inv))[pid]
+        E = vid.shape[0]
+
+        def to_world(X_obj):
+            return jnp.einsum('kij,kj->ki', m_pair[:, :, :3], X_obj) \
+                + m_pair[:, :, 3]
+
+        a_obj = verts[vid[:, 0]]
+        b_obj = verts[vid[:, 1]]
+        a = to_world(a_obj)
+        b = to_world(b_obj)
+        # classification with the eye pulled into each pair's object
+        # space (sign-safe for any affine instance transform)
+        eye_obj = jnp.einsum('kij,kj->ki', minv_pair[:, :, :3],
+                             jnp.broadcast_to(cam.eye, (E, 3))) \
+            + minv_pair[:, :, 3]
+        mid = 0.5 * (a_obj + b_obj)
+        view = mid - eye_obj
+    else:
+        vid = jnp.asarray(et.vid)
+        fid = jnp.asarray(et.fid)
+        E = vid.shape[0]
+        a = verts[vid[:, 0]]
+        b = verts[vid[:, 1]]
+        mid = 0.5 * (a + b)
+        view = mid - cam.eye
+
+    # ---- silhouette classification from CURRENT vertex values
     s0 = jnp.sum(face_n[jnp.maximum(fid[:, 0], 0)] * view, axis=-1)
     s1 = jnp.sum(face_n[jnp.maximum(fid[:, 1], 0)] * view, axis=-1)
     open_edge = fid[:, 1] < 0
@@ -150,8 +189,8 @@ def edge_sampling_vertex_grad(scene: Scene, cam: Camera,
     es = jnp.clip(es, 0, E - 1)
     ss = jax.random.uniform(k_s, (n_samples,))             # position on edge
 
-    va = verts[vid[es, 0]]                                 # (M, 3)
-    vb = verts[vid[es, 1]]
+    va = a[es]                                             # (M, 3) world
+    vb = b[es]
     X = va + ss[:, None] * (vb - va)                       # world edge points
 
     def proj_s(Xp):
@@ -201,7 +240,13 @@ def edge_sampling_vertex_grad(scene: Scene, cam: Camera,
     # s uniform, dl = len ds)
     scal = jnp.sum(adj * (f_minus - f_plus), axis=-1)      # (M,)
     scal = jnp.where(visible, scal, 0.0) * (total / n_samples)
-    Jtn = jnp.einsum('mij,mi->mj', J, n2d)                 # (M, 3)
+    Jtn = jnp.einsum('mij,mi->mj', J, n2d)                 # (M, 3) d/dX_world
+
+    if instanced:
+        # chain to the PROTOTYPE vertices: X_world = m_lin X_obj + t, so
+        # d(screen.n)/dv_obj = Jtn . m_lin (instances sharing a prototype
+        # accumulate into the same object-space vertices)
+        Jtn = jnp.einsum('mj,mjk->mk', Jtn, m_pair[es][:, :, :3])
 
     ga = scal[:, None] * (1.0 - ss)[:, None] * Jtn
     gb = scal[:, None] * ss[:, None] * Jtn
@@ -381,8 +426,10 @@ def loss_and_grads_with_edges(params: dict, scene: Scene, cam: Camera,
 
     if scene.edges is None:
         raise ValueError(
-            'loss_and_grads_with_edges needs scene.edges (single-level '
-            'scenes only); use sharding.loss_and_grads_scanned instead')
+            'loss_and_grads_with_edges needs scene.edges — SceneBuilder '
+            'builds it for single-level scenes and for instanced scenes '
+            'below the (instance x edge) pair cap; use '
+            'sharding.loss_and_grads_scanned beyond it')
     loss, grads = sharding.loss_and_grads_scanned(
         params, scene, cam, settings, target, key, spp=spp, tile=tile,
         mesh=mesh)
@@ -396,7 +443,8 @@ def loss_and_grads_with_edges(params: dict, scene: Scene, cam: Camera,
                                        n_samples=edge_samples)
     grads = dict(grads)
     grads['vertices'] = grads['vertices'] + g_edge
-    if shadow_edges and any(scene.point_lights.cast_shadows):
+    if shadow_edges and scene.single_level \
+            and any(scene.point_lights.cast_shadows):
         g_sh = shadow_edge_vertex_grad(s, cam, settings, dL_dimg, k_sh,
                                        n_samples=edge_samples)
         grads['vertices'] = grads['vertices'] + g_sh

@@ -395,6 +395,40 @@ class SceneBuilder:
         elif inst_table is not None:
             iclusters, mb_clusters = cl_mod.build_instanced_clusters(
                 geom, instances, inst_table)
+            from ..diff.edges import build_edge_table
+            edges = build_edge_table(geom.face_v)
+            # flat (instance, edge) pair enumeration for instanced
+            # silhouette sampling; edges assigned to instances by their
+            # first adjacent face. Capped — beyond it (forest-scale:
+            # every tree instance pairs with every tree edge) boundary
+            # gradients stay out of scope and edges is dropped.
+            fid0 = np.asarray(edges.fid)[:, 0]
+            # count pairs per unique prototype range BEFORE materializing
+            # (forest-scale scenes would enumerate ~100M pairs otherwise)
+            sel_cache: dict = {}
+
+            def inst_sel(inst):
+                k = ('t', id(inst['tris'])) if inst['tris'] is not None \
+                    else (inst['lo'], inst['hi'])
+                if k not in sel_cache:
+                    if inst['tris'] is not None:
+                        sel_cache[k] = np.flatnonzero(
+                            np.isin(fid0, np.asarray(inst['tris'])))
+                    else:
+                        sel_cache[k] = np.flatnonzero(
+                            (fid0 >= inst['lo']) & (fid0 < inst['hi']))
+                return sel_cache[k]
+
+            n_pairs = sum(len(inst_sel(inst)) for inst in instances)
+            if n_pairs <= 2_000_000:
+                pi = [np.full(len(inst_sel(inst)), row, np.int32)
+                      for row, inst in enumerate(instances)]
+                pe = [inst_sel(inst).astype(np.int32)
+                      for inst in instances]
+                edges = edges.replace(pair_inst=np.concatenate(pi),
+                                      pair_edge=np.concatenate(pe))
+            else:
+                edges = None
 
         scene = T.Scene(
             geom=geom, materials=materials, textures=textures,

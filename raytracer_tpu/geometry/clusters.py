@@ -215,6 +215,8 @@ class InstancedClusters:
     strf: Array          # (E, 12) f32 — per-ENTRY world->object affine
                          # (duplicates iminv so segment-table slices carry
                          # their own transforms — SMEM per slice)
+    pool_proto: Array    # (Mtot,) i32 — prototype id per pool cluster row
+    pool_local: Array    # (Mtot,) i32 — local cluster id within prototype
     p0: Array            # (Mtot*3, C) f32 — MT basis pool [row=3m+comp]
     e1: Array            # (Mtot*3, C)
     e2: Array            # (Mtot*3, C)
@@ -401,8 +403,101 @@ def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
         ibb=ibb, iminv=iminv.astype(np.float32), imeta=imeta,
         pbb=pbb, pmeta=pmeta, tri=tri,
         sbb=sbb, smeta=smeta, strf=strf, p0=p0, e1=e1, e2=e2,
+        pool_proto=np.repeat(np.arange(P, dtype=np.int32), proto_len),
+        pool_local=np.concatenate(
+            [np.arange(n, dtype=np.int32) for n in proto_len]),
         cluster_size=C, num_instances=n_inst, num_entries=n_ent,
         max_proto_clusters=int(proto_len.max())), mb_clusters
+
+
+def refresh_iclusters(icl: InstancedClusters, geom, inst_table):
+    """Re-derive the two-level tables from the CURRENT vertices (device).
+
+    The instanced analogue of refresh_clusters: differentiable vertex
+    updates (parallel/sharding.apply_params) must rebuild the prototype
+    MT-basis pool, per-cluster boxes (pbb), instance world boxes (ibb) and
+    segment world boxes (sbb), or the instanced tracers keep intersecting
+    the original geometry (forward hit values are pinned by
+    intersect.refine_hit, freezing the render w.r.t. vertex params).
+    Topology and instance TRANSFORMS stay fixed (transform gradients are
+    out of scope — BASELINE targets vertex parameters); only box quality
+    degrades for large deformations. All ops are jnp gathers/segment
+    reductions, callable under jit.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tri = jnp.asarray(icl.tri)                           # (Mtot, C)
+    Mtot, C = tri.shape
+    valid = tri >= 0
+    faces = jnp.asarray(geom.face_v)[jnp.maximum(tri, 0)]  # (Mtot, C, 3)
+    verts = jnp.asarray(geom.vertices)
+    p0 = verts[faces[..., 0]]                            # (Mtot, C, 3)
+    e1 = verts[faces[..., 1]] - p0
+    e2 = verts[faces[..., 2]] - p0
+    m3 = valid[..., None]
+    p0 = jnp.where(m3, p0, 0.0)
+    e1 = jnp.where(m3, e1, 0.0)
+    e2 = jnp.where(m3, e2, 0.0)
+
+    # per-cluster object boxes
+    pts = jnp.stack([p0, p0 + e1, p0 + e2], axis=2)      # (Mtot, C, 3, 3)
+    m4 = valid[..., None, None]
+    cb_lo = jnp.min(jnp.where(m4, pts, jnp.inf), axis=(1, 2))   # (Mtot, 3)
+    cb_hi = jnp.max(jnp.where(m4, pts, -jnp.inf), axis=(1, 2))
+    anyv = jnp.any(valid, axis=1)
+    cb_lo = jnp.where(anyv[:, None], cb_lo, NEVER_LO)
+    cb_hi = jnp.where(anyv[:, None], cb_hi, NEVER_HI)
+
+    # pbb: scatter cluster boxes into the (P*6, MP) lane layout
+    gp = jnp.asarray(icl.pool_proto, jnp.int32)
+    lc = jnp.asarray(icl.pool_local, jnp.int32)
+    pbb = jnp.asarray(icl.pbb)
+    rows_lo = 6 * gp[:, None] + jnp.arange(3)[None]      # (Mtot, 3)
+    rows_hi = rows_lo + 3
+    pbb = pbb.at[rows_lo, lc[:, None]].set(cb_lo)
+    pbb = pbb.at[rows_hi, lc[:, None]].set(cb_hi)
+
+    # per-prototype object boxes -> instance world boxes via 8 corners
+    P = icl.pmeta.shape[0]
+    safe_lo = jnp.where(cb_lo < 1e37, cb_lo, jnp.inf)
+    safe_hi = jnp.where(cb_hi < 1e37, cb_hi, -jnp.inf)
+    plo = jax.ops.segment_min(safe_lo, gp, num_segments=P)   # (P, 3)
+    phi = jax.ops.segment_max(safe_hi, gp, num_segments=P)
+    bits = ((jnp.arange(8)[:, None] >> jnp.asarray([2, 1, 0])) & 1
+            ).astype(jnp.float32)                        # (8, 3)
+
+    def world_box(lo, hi, m):
+        """lo/hi (K, 3) object boxes; m (K, 3, 4) -> world lo/hi."""
+        corners = lo[:, None] * (1 - bits)[None] + hi[:, None] * bits[None]
+        wc = jnp.einsum('kij,kqj->kqi', m[:, :, :3], corners) \
+            + m[:, None, :, 3]                           # (K, 8, 3)
+        return wc.min(1), wc.max(1)
+
+    NI = icl.num_instances
+    imeta = jnp.asarray(icl.imeta)
+    m_all = jnp.asarray(inst_table.m)
+    mi = m_all[imeta[:NI, 1]]                            # (NI, 3, 4)
+    wlo, whi = world_box(plo[imeta[:NI, 0]], phi[imeta[:NI, 0]], mi)
+    ibb = jnp.asarray(icl.ibb)
+    ibb = ibb.at[:3, :NI].set(wlo.T).at[3:, :NI].set(whi.T)
+
+    # per-KIN-chunk object boxes -> segment world boxes
+    ch_lo = jnp.min(safe_lo.reshape(-1, KIN, 3), axis=1)
+    ch_hi = jnp.max(safe_hi.reshape(-1, KIN, 3), axis=1)
+    nE = icl.num_entries
+    smeta = jnp.asarray(icl.smeta)
+    me = m_all[smeta[:nE, 2]]                            # (nE, 3, 4)
+    cid = smeta[:nE, 1] // KIN
+    slo, shi = world_box(ch_lo[cid], ch_hi[cid], me)
+    sbb = jnp.asarray(icl.sbb)
+    sbb = sbb.at[:3, :nE].set(slo.T).at[3:, :nE].set(shi.T)
+
+    def soa(x):  # (Mtot, C, 3) -> (Mtot*3, C)
+        return x.transpose(0, 2, 1).reshape(Mtot * 3, C)
+
+    return icl.replace(p0=soa(p0), e1=soa(e1), e2=soa(e2),
+                       pbb=pbb, ibb=ibb, sbb=sbb)
 
 
 def refresh_clusters(clusters: Clusters, geom, mb: bool) -> Clusters:

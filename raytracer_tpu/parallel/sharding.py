@@ -154,11 +154,19 @@ def apply_params(scene: Scene, params: dict, refresh: bool = True) -> Scene:
     # recomputes (t,a,b) from geom.vertices — so per-step callers hoist it
     # out of the tile loop (refresh=False after one refreshed base scene).
     clusters = scene.clusters
+    iclusters = scene.iclusters
+    mb_clusters = scene.mb_clusters
     if refresh and clusters is not None:
         from ..geometry.clusters import refresh_clusters
         clusters = refresh_clusters(clusters, geom, scene.has_motion_blur)
+    if refresh and iclusters is not None:
+        from ..geometry.clusters import refresh_clusters, refresh_iclusters
+        iclusters = refresh_iclusters(iclusters, geom, scene.instances)
+        if mb_clusters is not None:
+            mb_clusters = refresh_clusters(mb_clusters, geom, True)
     return scene.replace(
-        geom=geom, clusters=clusters,
+        geom=geom, clusters=clusters, iclusters=iclusters,
+        mb_clusters=mb_clusters,
         materials=scene.materials.replace(kd=params['kd'],
                                           spec_exp=params['spec_exp']),
         textures=scene.textures.replace(data=params['tex_data']),

@@ -13,8 +13,14 @@ Usage:
     python -m scripts.repro_remat_fault            # fails (remat on)
     RT_REMAT=0 python -m scripts.repro_remat_fault # passes (remat off)
 
-Observed 2026-08-21: remat=0 prints the loss; remat=1 raises
-jax.errors.JaxRuntimeError from the backward executable.
+Disposition (2026-08-21, round 5): NOT reproducible under the current
+jax/libtpu build — both settings produce identical losses here, and
+remat=True also completes the full 1080p/10-bounce bench config
+(53.6 s steady vs 32.5 s with remat=False: the checkpointed backward
+re-runs the bounce scan, while the scanned-tile pipeline already bounds
+residual memory at better throughput). The default therefore STAYS
+remat=False on performance grounds; the flag is live and safe again if a
+future memory squeeze needs it.
 """
 import os
 
