@@ -62,17 +62,28 @@ def main():
             try:
                 if mode == 'bvh':
                     from raytracer_tpu.ops import traverse
-                    f = jax.jit(lambda s, o, d: jnp.sum(traverse.bvh_trace(
-                        s, o, d, 0.5, 1e-3, 1e12, False).t))
+                    tr1 = lambda s, o, d: traverse.bvh_trace(
+                        s, o, d, 0.5, 1e-3, 1e12, False)
                 elif mode == 'cluster':
                     from raytracer_tpu.ops import cluster_trace as ct
-                    f = jax.jit(lambda s, o, d: jnp.sum(ct.cluster_trace(
-                        s, o, d, 0.5, 1e-3, 1e12, False).t))
+                    tr1 = lambda s, o, d: ct.cluster_trace(
+                        s, o, d, 0.5, 1e-3, 1e12, False)
                 else:
                     from raytracer_tpu.ops.pallas import cluster_kernel as ck
-                    f = jax.jit(
-                        lambda s, o, d: jnp.sum(ck.pallas_cluster_trace(
-                            s, o, d, 0.5, 1e-3, 1e12, False).t))
+                    tr1 = lambda s, o, d: ck.pallas_cluster_trace(
+                        s, o, d, 0.5, 1e-3, 1e12, False)
+
+                # NREP trace calls per dispatch: the axon tunnel has a
+                # ~25 ms per-dispatch floor that dominated single-call
+                # timings (round-4 table was floor-bound)
+                NREP = 4
+
+                def f(s, o, d, _t=tr1):
+                    acc = 0.0
+                    for r_ in range(NREP):
+                        acc += jnp.sum(_t(s, o + 1e-5 * (r_ + 1), d).t)
+                    return acc
+                f = jax.jit(f)
                 float(f(scene, o, d))  # compile + warm
                 dts = []
                 for it in range(args.iters):
@@ -80,7 +91,7 @@ def main():
                     t0 = time.time()
                     float(f(scene, oj, d))  # fetch-based completion
                     dts.append(time.time() - t0)
-                dt = min(dts)
+                dt = min(dts) / NREP
                 row[mode] = R / dt
                 print(f'{name} {mode}: {R / dt:,.0f} rays/s '
                       f'({dt * 1e3:.2f} ms)', flush=True)
