@@ -69,7 +69,7 @@ def main():
     # served from the execution-result cache and time as ~0. Median of
     # several runs with the spread reported: wall time through the shared
     # axon tunnel varies +-10-40% run to run.
-    n_iter = int(os.environ.get('RT_BENCH_ITERS', 3))
+    n_iter = int(os.environ.get('RT_BENCH_ITERS', 5))
     walls = []
     for i in range(n_iter):
         t0 = time.time()

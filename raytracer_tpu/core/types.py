@@ -272,6 +272,10 @@ class RenderSettings:
     # the secondary-bounce shadow rays on multi-sample lights
     light_secondary_single: bool = struct.field(pytree_node=False,
                                                 default=True)
+    # Schlick approximation instead of full Fresnel in the Blinn RR split
+    # (the reference's USE_SCHLICK compile switch, src/Material.h:55-67;
+    # it ships disabled, so full Fresnel is the default here too)
+    use_schlick: bool = struct.field(pytree_node=False, default=False)
     # intersector: 'auto' | 'brute' | 'bvh'
     intersector: str = struct.field(pytree_node=False, default='auto')
     # number of rays processed per device-shard tile (padding granularity)

@@ -482,9 +482,13 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         out_ior = jnp.where(dispersing[:, None], mat_ior,
                             out_ior_scalar[:, None])      # (R,3)
 
-        # Fresnel (src/Blinn.cpp:187-193) — uses channel 0 of out_ior
+        # Fresnel (src/Blinn.cpp:187-193) — uses channel 0 of out_ior.
+        # use_schlick selects the reference's USE_SCHLICK approximation
+        # (src/Material.h:55-67); default full Fresnel, as the reference
+        # ships
+        fres = vm.schlick_fresnel if settings.use_schlick else vm.fresnel
         has_spec = (reflect_amt0 > 0.0) | (refract_amt0 > 0.0)
-        rs = jnp.where(has_spec, vm.fresnel(in_ior, out_ior[:, 0], v_dot), 0.0)
+        rs = jnp.where(has_spec, fres(in_ior, out_ior[:, 0], v_dot), 0.0)
         ts = jnp.where(has_spec, 1.0 - rs, 0.0)
 
         rr_weight = 1.0 - rs * reflect_amt - ts * refract_amt

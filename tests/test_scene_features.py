@@ -175,8 +175,10 @@ def test_per_light_adaptive_sampling_active():
                        spp=4, key=4)
     np.testing.assert_array_equal(base, sec_rect)
     # ...while dome scenes re-mask their secondary NEE draws
-    sd, cd, std = registry.make('dome_teapot', size=16, max_bounces=2,
-                                path_trace=True)
+    sd, cd, std = registry.make('dome_teapot', size=16)
+    # the fixture ships whitted-style; secondary NEE draws only exist on
+    # GI bounces, so path-trace it
+    std = std.replace(path_trace=True, max_bounces=2, max_wavefront_steps=4)
     base_d = _render(sd, cd, std.replace(light_secondary_single=False),
                      spp=2, key=4)
     sec_d = _render(sd, cd, std.replace(light_secondary_single=True),
