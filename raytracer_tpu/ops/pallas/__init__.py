@@ -30,6 +30,11 @@ def pallas_brute_trace(scene: Scene, o, d, time, tmin, tmax,
     (a hit is a hit; the wavefront shadow test only consumes hit.valid).
     """
     if scene.has_motion_blur or scene.has_alpha_maps:
+        from ...utils import console
+        console.debug(
+            "intersector='pallas' downgraded to the jnp brute-force path "
+            '(motion blur / alpha cutout are handled outside the MT '
+            'kernel); use the cluster kernels for these scenes')
         return brute_force_trace(scene, o, d, time, tmin, tmax, any_hit)
     geom = jax.lax.stop_gradient(scene.geom)
     f = geom.face_v
