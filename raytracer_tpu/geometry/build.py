@@ -319,11 +319,16 @@ class SceneBuilder:
                 height=np.asarray([i.shape[0] for i in self._tex_imgs], np.int32),
                 channels=np.asarray([i.shape[2] for i in self._tex_imgs], np.int32))
         else:
-            textures = T.TexturePack(data=np.zeros(4, np.float32),
-                                     offset=np.zeros(1, np.int32),
-                                     width=np.ones(1, np.int32),
-                                     height=np.ones(1, np.int32),
-                                     channels=np.asarray([4], np.int32))
+            # truly EMPTY pack: every lookup short-circuits statically
+            # (shading/textures.py). A 1x1 placeholder texture still makes
+            # each bounce gather (and, transposed, scatter) per-ray texel
+            # indices — round-5 profiling measured that dead scatter at
+            # half the headline fwd+bwd (scripts/probe_bwd_parts.py)
+            textures = T.TexturePack(data=np.zeros(0, np.float32),
+                                     offset=np.zeros(0, np.int32),
+                                     width=np.zeros(0, np.int32),
+                                     height=np.zeros(0, np.int32),
+                                     channels=np.zeros(0, np.int32))
 
         pls = self._point_lights
         point_lights = T.PointLights(

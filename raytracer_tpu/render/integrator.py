@@ -100,6 +100,35 @@ def material_env_color(scene: Scene, mat, d):
     return jnp.where((tid >= 0)[..., None], mat_env, base)
 
 
+def _scene_env_deferred(scene: Scene, batch, d):
+    """scene_env_color via a TexBatch -> thunk (call after batch.run())."""
+    if scene.env_tex >= 0:
+        u, v = tex.env_uv(d)
+        i = batch.add(scene.env_tex, u, v)
+        return lambda: batch.get(i)[..., :3] * scene.env_exposure
+    return lambda: jnp.broadcast_to(scene.bg_color, d.shape)
+
+
+def _material_env_deferred(scene: Scene, batch, mat, d):
+    """material_env_color via a TexBatch -> thunk (call after batch.run()).
+
+    Same env chain as material_env_color (src/Material.cpp:44-64); the
+    lookups join the bounce's fused texel gather so each bounce's backward
+    pass scatters into the texel pool once, not per lookup."""
+    base_f = _scene_env_deferred(scene, batch, d)
+    if not scene.has_material_env:
+        return base_f
+    tid = scene.materials.tex_env[mat]
+    u, v = tex.env_uv(d)
+    i = batch.add(tid, u, v)
+
+    def thunk():
+        mat_env = batch.get(i)[..., :3] \
+            * scene.materials.env_exposure[mat][..., None]
+        return jnp.where((tid >= 0)[..., None], mat_env, base_f())
+    return thunk
+
+
 def _ior_top(stack, sp):
     return jnp.take_along_axis(stack, sp[..., None], axis=-1)[..., 0]
 
@@ -400,10 +429,32 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         found = hit.valid & alive
         t, a, b = isect.refine_hit(scene, o, d, time, hit)
 
+        # ---------------------------------------------- hit attrs + lookups
+        # all of this bounce's texture reads (the 5 surface maps and the
+        # miss-path env chain for d) fuse into ONE texel-pool gather: its
+        # transpose is a single scatter-add into tex_data, which round-5
+        # profiling measured as HALF the whole fwd+bwd at one per corner
+        # fetch (scripts/probe_bwd_parts.py, PERF.md)
+        tri = jnp.maximum(hit.tri, 0)
+        mat = scene.geom.face_mat[tri]
+        N, geoN, T, BT, u, v = hit_attributes(scene, tri, hit.inst, a, b)
+        P = o + t[:, None] * d
+        view = -d
+
+        mats_tex = (mats.tex_color[mat], mats.tex_normal[mat],
+                    mats.tex_spec[mat], mats.tex_reflect[mat],
+                    mats.tex_refract[mat])
+        tc, tn, ts_, tr_, tf_ = mats_tex
+        tb = tex.TexBatch(scene.textures)
+        i_surf = [tb.add(tid, u, v) for tid in mats_tex]
+        env_mat_f = _material_env_deferred(scene, tb, state['prev_mat'], d)
+        env_scene_f = _scene_env_deferred(scene, tb, d)
+        tb.run()
+
         # ------------------------------------------------------ miss paths
         miss = alive & ~hit.valid
-        env_mat = material_env_color(scene, state['prev_mat'], d)
-        env_scene = scene_env_color(scene, d)
+        env_mat = env_mat_f()
+        env_scene = env_scene_f()
         # primary: scene env/bg; reflect/refract: material env chain;
         # GI: material env gated by sample_env && scene env map present
         gi_ok = mats.sample_env[state['prev_mat']] & (scene.env_tex >= 0)
@@ -413,12 +464,6 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         L = L + jnp.where(add_env[:, None], tp * env_out, 0.0)
 
         # ------------------------------------------------------- hit shading
-        tri = jnp.maximum(hit.tri, 0)
-        mat = scene.geom.face_mat[tri]
-        N, geoN, T, BT, u, v = hit_attributes(scene, tri, hit.inst, a, b)
-        P = o + t[:, None] * d
-        view = -d
-
         kd = mats.kd[mat]
         ka = mats.ka[mat]
         ks = mats.ks[mat]
@@ -431,21 +476,16 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         is_lambert = mats.kind[mat] == MAT_LAMBERT
 
         # texture modulation (src/Blinn.cpp:114-142)
-        tc = mats.tex_color[mat]
-        texcol = tex.tex_lookup3(scene.textures, tc, u, v)
+        texcol = tb.get(i_surf[0])[..., :3]
         diffuse = jnp.where((tc >= 0)[:, None], texcol, kd)
-        tn = mats.tex_normal[mat]
-        texn = tex.tex_lookup3(scene.textures, tn, u, v)
+        texn = tb.get(i_surf[1])[..., :3]
         N_mapped = texn[:, 0:1] * T + texn[:, 1:2] * BT + texn[:, 2:3] * N
         N = jnp.where((tn >= 0)[:, None], N_mapped, N)  # unnormalized, as ref
-        ts_ = mats.tex_spec[mat]
-        texs = tex.tex_lookup3(scene.textures, ts_, u, v).mean(-1)
+        texs = tb.get(i_surf[2])[..., :3].mean(-1)
         spec_amt = jnp.where(ts_ >= 0, texs * spec_amt, spec_amt)
-        tr_ = mats.tex_reflect[mat]
-        texr = tex.tex_lookup3(scene.textures, tr_, u, v).mean(-1)
+        texr = tb.get(i_surf[3])[..., :3].mean(-1)
         reflect_amt = jnp.where(tr_ >= 0, texr * reflect_amt0, reflect_amt0)
-        tf_ = mats.tex_refract[mat]
-        texf = tex.tex_lookup3(scene.textures, tf_, u, v).mean(-1)
+        texf = tb.get(i_surf[4])[..., :3].mean(-1)
         refract_amt = jnp.where(tf_ >= 0, texf * refract_amt0, refract_amt0)
 
         # normal disambiguation + backface flip (src/Blinn.cpp:144-155)
@@ -572,8 +612,14 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
 
         # capped specular rays take the env color instead (src/Blinn.cpp:260-267,
         # 325-328 with doEnv left true when no trace happened)
-        env_r = material_env_color(scene, mat, rvec)
-        env_t = material_env_color(scene, mat, tvec)
+        # capped-spec env colors: rvec/tvec depend on the surface lookups,
+        # so these two chains form the bounce's second fused gather
+        tb2 = tex.TexBatch(scene.textures)
+        env_r_f = _material_env_deferred(scene, tb2, mat, rvec)
+        env_t_f = _material_env_deferred(scene, tb2, mat, tvec)
+        tb2.run()
+        env_r = env_r_f()
+        env_t = env_t_f()
         L = L + jnp.where((take_refl & ~can_bounce)[:, None], w_s * env_r, 0.0)
         L = L + jnp.where((take_refr & ~can_bounce)[:, None], w_s * env_t, 0.0)
 

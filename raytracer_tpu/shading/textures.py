@@ -14,23 +14,6 @@ from ..core.types import TexturePack
 from ..core.vecmath import PI, INV_PI
 
 
-def _fetch_pixel(tp: TexturePack, off, w, h, c, x, y):
-    """Tiled pixel fetch -> (..., 4) RGBA (reference getPixel,
-    src/Texture.cpp:100-125). x,y int32 arrays, may exceed bounds by one."""
-    x = jnp.remainder(x, w)
-    y = jnp.remainder(y, h)
-    base = off + (y * w + x) * c
-    # fetch up to 4 consecutive channels, clamped to the pool
-    n = tp.data.shape[0]
-    k = jnp.arange(4, dtype=jnp.int32)
-    idx = jnp.clip(base[..., None] + jnp.minimum(k, c[..., None] - 1), 0, n - 1)
-    vals = tp.data[idx]                                   # (..., 4)
-    gray = c[..., None] == 1
-    rgb = jnp.where(gray, vals[..., 0:1], vals[..., :3])
-    alpha = jnp.where(c >= 4, vals[..., 3], 1.0)
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
-
-
 def _wrap_uv(u, v):
     u = u - jnp.trunc(u)
     v = v - jnp.trunc(v)
@@ -39,9 +22,39 @@ def _wrap_uv(u, v):
     return u, 1.0 - v  # v flip (src/Texture.cpp:53-54)
 
 
+def _no_texture_rgba(u):
+    """The no-map RGBA (rgb 0, alpha 1) used when the pool is empty.
+
+    Derived from `u` (not fresh constants) so the result keeps u's
+    varying type under shard_map."""
+    z = jnp.asarray(u, jnp.float32)[..., None] * 0.0
+    return jnp.concatenate([z, z, z, z + 1.0], axis=-1)
+
+
 def tex_lookup(tp: TexturePack, tex_id, u, v):
     """Bilinear RGBA lookup -> (..., 4). tex_id < 0 is clamped to 0; callers
-    mask the result (reference code checks the map pointer instead)."""
+    mask the result (reference code checks the map pointer instead).
+
+    An empty pool (a textureless scene) short-circuits to rgb 0 / alpha 1
+    STATICALLY: otherwise every bounce still emits the clamped pool gather,
+    whose transpose is a serial-ish TPU scatter that round-5 profiling
+    measured at ~100 ns/update — half the headline fwd+bwd wasted
+    scattering into a zero-length array (scripts/probe_scatter.py)."""
+    if tp.data.shape[0] == 0:
+        return _no_texture_rgba(u)
+    idx, state = _lookup_plan(tp, tex_id, u, v)
+    return _lookup_combine(tp.data[idx], state)
+
+
+def _lookup_plan(tp: TexturePack, tex_id, u, v):
+    """Texel-pool indices + lerp state for one bilinear RGBA lookup.
+
+    Returns (idx (..., 16) int32, (dx, dy, c)): 4 corners x 4 channels of
+    pool indices; combine the gathered values with _lookup_combine. Split
+    out so tex_lookup_batch can fuse MANY lookups into ONE pool gather —
+    the gather's transpose is a scatter-add into the (large) texel pool,
+    and one fused scatter per bounce is far cheaper than one per corner
+    fetch (the round-5 backward-pass bottleneck, see PERF.md)."""
     tid = jnp.maximum(tex_id, 0)
     off = tp.offset[tid]
     w = tp.width[tid]
@@ -56,13 +69,51 @@ def tex_lookup(tp: TexturePack, tex_id, u, v):
     dy = (py - y1)[..., None]
     x1 = x1.astype(jnp.int32)
     y1 = y1.astype(jnp.int32)
-    q11 = _fetch_pixel(tp, off, w, h, c, x1, y1)
-    q21 = _fetch_pixel(tp, off, w, h, c, x1 + 1, y1)
-    q12 = _fetch_pixel(tp, off, w, h, c, x1, y1 + 1)
-    q22 = _fetch_pixel(tp, off, w, h, c, x1 + 1, y1 + 1)
+    n = tp.data.shape[0]
+    k = jnp.arange(4, dtype=jnp.int32)
+    kc = jnp.minimum(k, c[..., None] - 1)
+    idxs = []
+    for cx, cy in ((x1, y1), (x1 + 1, y1), (x1, y1 + 1), (x1 + 1, y1 + 1)):
+        x = jnp.remainder(cx, w)
+        y = jnp.remainder(cy, h)
+        base = off + (y * w + x) * c
+        idxs.append(jnp.clip(base[..., None] + kc, 0, n - 1))
+    return jnp.concatenate(idxs, axis=-1), (dx, dy, c)
+
+
+def _lookup_combine(vals16, state):
+    """Bilinear-combine the 16 gathered pool values -> RGBA (..., 4)."""
+    dx, dy, c = state
+
+    def pix(v4):
+        gray = c[..., None] == 1
+        rgb = jnp.where(gray, v4[..., 0:1], v4[..., :3])
+        alpha = jnp.where(c >= 4, v4[..., 3], 1.0)
+        return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+    q11 = pix(vals16[..., 0:4])
+    q21 = pix(vals16[..., 4:8])
+    q12 = pix(vals16[..., 8:12])
+    q22 = pix(vals16[..., 12:16])
     q1 = q11 * (1.0 - dx) + q21 * dx
     q2 = q12 * (1.0 - dx) + q22 * dx
     return q1 * (1.0 - dy) + q2 * dy
+
+
+def tex_lookup_batch(tp: TexturePack, queries):
+    """Many bilinear lookups, ONE texel-pool gather -> list of RGBA (..., 4).
+
+    queries: [(tex_id, u, v), ...] with a common batch shape. Forward math
+    is identical to per-query tex_lookup; the fusion exists so the
+    backward pass emits a single scatter-add into tp.data per call site
+    instead of one per corner fetch (4 per lookup)."""
+    if tp.data.shape[0] == 0:
+        return [_no_texture_rgba(u) for (_, u, _) in queries]
+    plans = [_lookup_plan(tp, t, u, v) for (t, u, v) in queries]
+    idx = jnp.concatenate([p[0] for p in plans], axis=-1)
+    vals = tp.data[idx]
+    return [_lookup_combine(vals[..., 16 * i:16 * (i + 1)], p[1])
+            for i, p in enumerate(plans)]
 
 
 def tex_lookup3(tp: TexturePack, tex_id, u, v):
@@ -73,12 +124,40 @@ def tex_lookup_alpha(tp: TexturePack, tex_id, u, v):
     return tex_lookup(tp, tex_id, u, v)[..., 3]
 
 
-def env_lookup(tp: TexturePack, tex_id, direction):
-    """Lat-long environment lookup (src/Texture.cpp:90-98):
-    theta = atan2(z, x) + pi; phi = acos(y); u = theta/2pi; v = 1 - phi/pi."""
+def env_uv(direction):
+    """Lat-long mapping (src/Texture.cpp:90-98): theta = atan2(z, x) + pi;
+    phi = acos(y); u = theta/2pi; v = 1 - phi/pi (pre-wrap)."""
     d = direction
     theta = jnp.arctan2(d[..., 2], d[..., 0]) + PI
     phi = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
-    u = theta * 0.5 * INV_PI
-    v = 1.0 - phi * INV_PI
+    return theta * 0.5 * INV_PI, 1.0 - phi * INV_PI
+
+
+def env_lookup(tp: TexturePack, tex_id, direction):
+    """Lat-long environment lookup -> (..., 3)."""
+    u, v = env_uv(direction)
     return tex_lookup3(tp, tex_id, u, v)
+
+
+class TexBatch:
+    """Collect bilinear lookups, execute them as ONE pool gather.
+
+    Usage: i = batch.add(tex_id, u, v) per query; batch.run(); then
+    batch.get(i) -> RGBA. Exists so one bounce's texture reads (surface
+    maps + env chains) cost a single scatter-add in the backward pass."""
+
+    def __init__(self, tp: TexturePack):
+        self.tp = tp
+        self.queries = []
+        self.vals = None
+
+    def add(self, tex_id, u, v) -> int:
+        self.queries.append((tex_id, u, v))
+        return len(self.queries) - 1
+
+    def run(self) -> None:
+        if self.queries:
+            self.vals = tex_lookup_batch(self.tp, self.queries)
+
+    def get(self, i: int):
+        return self.vals[i]
