@@ -269,10 +269,14 @@ def build_instanced_clusters(geom: T.Geometry, instances: list[dict],
             key = ('world', tri_ids.tobytes())
         else:
             lo, hi = inst['lo'], inst['hi']
-            tri_ids = np.arange(lo, hi, dtype=np.int64)
-            if face_mb[tri_ids].any():
-                return None, None  # MB prototypes: BVH path only
             key = (lo, hi)
+            if key not in proto_keys:  # first sight of this prototype only
+                tri_ids = np.arange(lo, hi, dtype=np.int64)
+                if face_mb[tri_ids].any():
+                    return None, None  # MB prototypes: BVH path only
+                proto_keys[key] = (len(proto_keys), tri_ids)
+            entries.append((key, row))
+            continue
         if key not in proto_keys:
             proto_keys[key] = (len(proto_keys), tri_ids)
         entries.append((key, row))

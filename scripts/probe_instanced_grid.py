@@ -4,6 +4,8 @@ segment kernel. Fetch-timed, dispatch-amortized."""
 import sys
 import time
 
+sys.path.insert(0, '.')
+
 import jax
 import jax.numpy as jnp
 import numpy as np

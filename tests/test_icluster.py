@@ -210,3 +210,26 @@ def test_icluster_mb_split_and_merge():
     np.testing.assert_allclose(np.asarray(hb.t)[hit], np.asarray(hm.t)[hit],
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(hb.inst), np.asarray(hm.inst))
+
+
+def test_segment_kernel_multislice_block_cull_matches_bvh():
+    """Sliced segment tables + the per-(block, slice) frustum cull.
+
+    20k instances -> 40k segments -> 3 table slices: exercises (a) the
+    nearest-t merge across slices and (b) the conservative interval slab
+    test that disables whole ray blocks per slice (the instance-count
+    scaling lever; a late-binding bug here once corrupted the cull's
+    closure state on the second slice). Hit-for-hit vs the BVH."""
+    from raytracer_tpu.ops.pallas import iseg_kernel
+
+    scene, cam, st = registry.make('instanced_grid', size=16, n=20000)
+    assert scene.iclusters.sbb.shape[1] > 32768   # really multi-slice
+    o, d, time = _random_rays(scene, 64, 11)
+    hb = traverse.bvh_trace(scene, o, d, time, 1e-3, 1e12, False)
+    hp = iseg_kernel.pallas_iseg_trace(scene, o, d, time, 1e-3, 1e12, False)
+    tb, tp = np.asarray(hb.t), np.asarray(hp.t)
+    np.testing.assert_array_equal(tb >= 1e11, tp >= 1e11)
+    hit = tb < 1e11
+    np.testing.assert_allclose(tb[hit], tp[hit], rtol=1e-4, atol=1e-5)
+    same = np.asarray(hb.tri) == np.asarray(hp.tri)
+    assert same[hit].mean() > 0.99
