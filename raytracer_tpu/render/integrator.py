@@ -376,11 +376,20 @@ def trace_fn(scene: Scene, settings: RenderSettings):
     return tracer
 
 
-def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
+def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key,
+             kind0: int = KIND_PRIMARY, prev_mat0=0, gi_bounces0=0):
     """Estimate radiance for a wavefront of camera rays -> (R, 3).
 
     One sample per ray; callers loop/average for spp (the reference's
     m_numPaths loop, src/Scene.cpp:228-232, folds into this).
+
+    kind0/prev_mat0/gi_bounces0 (scalars or (R,) arrays) seed the
+    wavefront mid-path: diff/edges.gi_edge_vertex_grad evaluates the GI
+    integrand on either side of a blocker silhouette by restarting the
+    path AT the first diffuse vertex (kind0=KIND_GI, prev_mat0=that
+    vertex's material), so its side radiance matches what the
+    integrator's own GI bounce would have delivered (env gating and
+    emitter handling differ by ray kind).
     """
     R = o.shape[0]
     f32 = o.dtype
@@ -399,12 +408,12 @@ def radiance(scene: Scene, settings: RenderSettings, o, d, time, base_key):
         tp=1.0 + zero[:, None] + jnp.zeros((R, 3), f32),
         L=zero[:, None] + jnp.zeros((R, 3), f32),
         alive=zero < 1.0,
-        kind=zero_i + KIND_PRIMARY,
+        kind=zero_i + kind0,
         bounces=zero_i,
-        gi_bounces=zero_i,
+        gi_bounces=zero_i + gi_bounces0,
         ior_stack=ior_stack,
         ior_sp=zero_i + 1,
-        prev_mat=zero_i,
+        prev_mat=zero_i + prev_mat0,
         time=time + zero,
         pix=zero_i + jnp.arange(R, dtype=jnp.int32),
     )

@@ -249,3 +249,69 @@ def test_instanced_edge_grad_matches_fd():
     assert fd != 0.0
     assert np.sign(dldx) == np.sign(fd)
     assert abs(dldx - fd) < 0.35 * abs(fd) + 1e-4, (dldx, fd)
+
+
+def _gi_blocker_scene(dx=0.0):
+    """Floor lit ONLY by one-bounce GI from an off-frame emissive panel,
+    with an off-frame blocker between them: the loss derivative w.r.t.
+    blocker translation is purely the GI (indirect-visibility) boundary
+    term — no lights (no shadow-edge term), blocker out of frame (no
+    camera-edge term), visibility steps (interior gradient blind)."""
+    from raytracer_tpu.geometry import shapes
+    b = SceneBuilder()
+    floor = b.add_blinn(kd=(0.8, 0.8, 0.8))
+    b.add_mesh(shapes.quad((-4, 0, 4), (4, 0, 4), (4, 0, -4), (-4, 0, -4),
+                           with_uv=False), floor)
+    emit = b.add_blinn(kd=(0.0, 0.0, 0.0), le=(4.0, 4.0, 4.0),
+                       emitted_power=3.0)
+    b.add_mesh(shapes.quad((1.5, 3.0, 1.0), (3.5, 3.0, 1.0),
+                           (3.5, 3.0, -1.0), (1.5, 3.0, -1.0),
+                           with_uv=False), emit)
+    blk = b.add_blinn(kd=(0.2, 0.2, 0.2))
+    b.add_mesh(make_single_triangle((0.6 + dx, 1.2, -0.7),
+                                    (0.6 + dx, 1.2, 0.7),
+                                    (1.4 + dx, 1.2, 0.0), n=(0, 1, 0)), blk)
+    b.set_bg_color((0, 0, 0))
+    scene = b.build(bvh=False)
+    cam = Camera.make(eye=(0.0, 2.2, 0.0), look_at=(0.0, 0.0, 0.01),
+                      fov=35.0)
+    st = RenderSettings(width=SIZE, height=SIZE, path_trace=True,
+                        max_bounces=2, max_wavefront_steps=3,
+                        ray_tile=SIZE * SIZE)
+    return scene, cam, st
+
+
+def test_gi_edge_grad_matches_fd():
+    """GI-boundary gradients (diff/edges.gi_edge_vertex_grad): the blocker
+    silhouette as seen from the first diffuse vertex. Calibrated:
+    fd = -0.18 +- 0.03 (3 keys, spp=64), estimator -0.21 at 8k samples;
+    without gi_edges the blocker gradient is exactly zero."""
+    key = jax.random.PRNGKey(0)
+    scene, cam, st = _gi_blocker_scene()
+    params = sharding.get_params(scene)
+    target = renderer.render(_gi_blocker_scene(0.2)[0], cam, st,
+                             jax.random.PRNGKey(42), spp=64)
+
+    def loss_at(dx, k):
+        img = renderer.render(_gi_blocker_scene(dx)[0], cam, st, k, spp=64)
+        return float(jnp.sum((img - target) ** 2) / (SIZE * SIZE * 3))
+
+    eps = 5e-2
+    fds = [(loss_at(eps, jax.random.PRNGKey(k))
+            - loss_at(-eps, jax.random.PRNGKey(k))) / (2 * eps)
+           for k in range(3)]
+    fd = float(np.mean(fds))
+    assert np.isfinite(fd) and abs(fd) > 0.05, fds
+
+    _, g_off = ed.loss_and_grads_with_edges(
+        params, scene, cam, st, target, key, spp=8, edge_samples=8192,
+        shadow_edges=False, gi_edges=False)
+    _, g_on = ed.loss_and_grads_with_edges(
+        params, scene, cam, st, target, key, spp=8, edge_samples=8192,
+        shadow_edges=False, gi_edges=True)
+    # blocker vertices are the last 3 rows (floor 4 + emitter 4 + blocker 3)
+    g0 = float(jnp.sum(g_off['vertices'][-3:, 0]))
+    g1 = float(jnp.sum(g_on['vertices'][-3:, 0]))
+    assert abs(g0) < 1e-6, f'interior+camera edges should be blind: {g0}'
+    assert np.sign(g1) == np.sign(fd), (g1, fd)
+    np.testing.assert_allclose(g1, fd, rtol=0.35)
