@@ -350,6 +350,14 @@ def pallas_icluster_trace(scene: Scene, o, d, time, tmin, tmax,
                       jnp.zeros(Rp, f32)])
     rays = rays.reshape(9, Rp // rb, rb).transpose(1, 0, 2)   # (nb, 9, RB)
 
+    # scene-bbox bundle cull (ops/pallas/bundle.py): blocks whose ray
+    # bundle cannot enter the union of instance world boxes (sky blocks,
+    # already-terminated alpha-march prefixes) skip the kernel's whole
+    # (RB, I) instance cull, not just the sweep
+    from .bundle import make_block_culler, disable_blocks, box_union
+    rays = disable_blocks(
+        rays, make_block_culler(rays)(*box_union(jnp.asarray(icl.ibb, f32))))
+
     nb = Rp // rb
     whole = lambda i: (0, 0)
     grid_spec = pl.GridSpec(

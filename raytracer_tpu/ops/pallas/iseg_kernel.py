@@ -316,56 +316,12 @@ def pallas_iseg_trace(scene: Scene, o, d, time, tmin, tmax,
     rays = rays.reshape(9, Rp // rb, rb).transpose(1, 0, 2)   # (nb, 9, RB)
     nb = Rp // rb
 
-    # ---- per-block conservative ray-bundle bounds (for the slice cull:
-    # a block whose bundle frustum cannot enter a slice's bbox gets that
-    # slice's call with tmax < 0, which the kernel skips whole-block —
-    # the instance-count scaling lever: with camera-coherent blocks each
-    # block executes only the few slices its frustum crosses instead of
-    # culling every slice's full (RB, E_s) table)
-    live_b = rays[:, 7, :] > 0.0                              # (nb, RB)
-    lb3 = live_b[:, None, :]
-
-    def _mn(v, m):
-        return jnp.min(jnp.where(m, v, BIG), axis=-1)
-
-    def _mx(v, m):
-        return jnp.max(jnp.where(m, v, -BIG), axis=-1)
-
-    olo = _mn(rays[:, 0:3, :], lb3)                           # (nb, 3)
-    ohi = _mx(rays[:, 0:3, :], lb3)
-    dlo = _mn(rays[:, 3:6, :], lb3)
-    dhi = _mx(rays[:, 3:6, :], lb3)
-    tmin_lo = _mn(rays[:, 6, :], live_b)                      # (nb,)
-    tmax_hi = _mx(rays[:, 7, :], live_b)
-    any_live = jnp.any(live_b, axis=-1)
-    # conservative inverse-direction interval per axis (straddling zero
-    # -> unbounded: the interval slab test then always passes)
-    eps = f32(1e-12)
-    pos = dlo > eps
-    neg = dhi < -eps
-    # (inv_a/inv_b, not i1/i2: the slice-merge loop below rebinds i1, and
-    # blocks_enabled late-binds its closure variables)
-    inv_a = jnp.where(pos, 1.0 / jnp.where(pos, dhi, 1.0),
-                      jnp.where(neg, 1.0 / jnp.where(neg, dlo, 1.0), -BIG))
-    inv_b = jnp.where(pos, 1.0 / jnp.where(pos, dlo, 1.0),
-                      jnp.where(neg, 1.0 / jnp.where(neg, dhi, 1.0), BIG))
-
-    def blocks_enabled(blo, bhi):
-        """Interval slab test: can ANY live ray of each block hit the box
-        [blo, bhi] within its [tmin, tmax]? -> (nb,) bool, conservative."""
-        hulls = []
-        for s in (blo[None, :] - ohi, blo[None, :] - olo,
-                  bhi[None, :] - ohi, bhi[None, :] - olo):
-            hulls.append(s * inv_a)
-            hulls.append(s * inv_b)
-        ax_lo = hulls[0]
-        ax_hi = hulls[0]
-        for h in hulls[1:]:
-            ax_lo = jnp.minimum(ax_lo, h)
-            ax_hi = jnp.maximum(ax_hi, h)
-        t0 = jnp.max(ax_lo, axis=1)                           # (nb,)
-        t1 = jnp.min(ax_hi, axis=1)
-        return any_live & (t1 >= t0) & (t1 >= tmin_lo) & (t0 <= tmax_hi)
+    # ---- per-block bundle cull (ops/pallas/bundle.py): with coherent
+    # camera blocks each block executes only the few slices its frustum
+    # crosses instead of culling every slice's full (RB, E_s) table; sky
+    # blocks skip everything
+    from .bundle import make_block_culler, disable_blocks, box_union
+    blocks_enabled = make_block_culler(rays)
 
     vma = getattr(jax.typeof(rays), 'vma', frozenset())
 
@@ -431,13 +387,8 @@ def pallas_iseg_trace(scene: Scene, o, d, time, tmin, tmax,
     for lo in range(0, E, SLICE):
         hi = min(lo + SLICE, E)
         sbb_s = sbb_all[:, lo:hi]
-        # slice bbox from its segment boxes (lane padding carries inverted
-        # never-hit boxes, which min/max ignore); disable blocks whose
-        # bundle cannot enter it
-        en = blocks_enabled(jnp.min(sbb_s[0:3], axis=1),
-                            jnp.max(sbb_s[3:6], axis=1))
-        rays_s = rays.at[:, 7, :].set(
-            jnp.where(en[:, None], rays[:, 7, :], f32(-1.0)))
+        en = blocks_enabled(*box_union(sbb_s))
+        rays_s = disable_blocks(rays, en)
         res = run_slice(sbb_s, icl.smeta[lo:hi], icl.strf[lo:hi], hi - lo,
                         rays_s)
         if outs is None:
