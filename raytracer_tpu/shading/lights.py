@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import Scene
 from ..core import vecmath as vm
@@ -234,19 +235,34 @@ def sample_rect_lights(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
     return power_sum, spec_sum, back_sum
 
 
-def _sample_cdf(cdf, u):
-    """Distribution1D::sample (src/DomeLight.h:31-38), dense lower_bound.
+def _sample_cdf_rows(cdf2, rows, u):
+    """Distribution1D::sample (src/DomeLight.h:31-38) over per-ray rows.
 
-    cdf: (..., n+1) broadcastable against u (...). Returns (pos, offset, du).
-    """
-    n = cdf.shape[-1] - 1
-    cdf = jnp.broadcast_to(cdf, u.shape + (n + 1,))
-    count_lt = jnp.sum(cdf < u[..., None], axis=-1)
-    offset = jnp.clip(count_lt - 1, 0, n - 1)
-    c0 = jnp.take_along_axis(cdf, offset[..., None], axis=-1)[..., 0]
-    c1 = jnp.take_along_axis(cdf, offset[..., None] + 1, axis=-1)[..., 0]
+    cdf2: (K, n+1) row-wise CDFs; rows, u: (R,). Returns (pos, offset, du)
+    exactly equal to the dense lower_bound (count of strictly-smaller
+    entries), but via a binary search of log2(n) POINTWISE gathers — the
+    dense form gathered the full (R, n+1) row per ray, which at a
+    1k-tall env map moved ~0.5 GB per dome sample per bounce and was the
+    measured wall of the forest render (PERF.md round 5)."""
+    n = cdf2.shape[-1] - 1
+    lo = jnp.zeros(u.shape, jnp.int32)          # lower_bound in [0, n+1]
+    hi = jnp.full(u.shape, n + 1, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(n + 2)))):
+        mid = (lo + hi) // 2
+        cm = cdf2[rows, jnp.clip(mid, 0, n)]
+        less = cm < u
+        lo = jnp.where(less, jnp.minimum(mid + 1, hi), lo)
+        hi = jnp.where(less, hi, mid)
+    offset = jnp.clip(lo - 1, 0, n - 1)
+    c0 = cdf2[rows, offset]
+    c1 = cdf2[rows, offset + 1]
     du = (u - c0) / jnp.maximum(c1 - c0, 1e-20)
     return offset.astype(jnp.float32) + du, offset, du
+
+
+def _sample_cdf(cdf, u):
+    """One shared CDF row (the u-marginal): cdf (n+1,), u (...)."""
+    return _sample_cdf_rows(cdf[None, :], jnp.zeros(u.shape, jnp.int32), u)
 
 
 def sample_dome_light(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
@@ -279,7 +295,7 @@ def sample_dome_light(scene: Scene, tracer, P, N, rvec, spec_exp, time, key,
         fu, uo, _ = _sample_cdf(dome.u_cdf, e[s, :, 0])
         pdf_u = dome.u_func[uo] / dome.u_func_int
         ucol = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
-        fv, vo, _ = _sample_cdf(dome.v_cdf[ucol], e[s, :, 1])
+        fv, vo, _ = _sample_cdf_rows(dome.v_cdf, ucol, e[s, :, 1])
         pdf_v = dome.v_func[ucol, vo] / jnp.maximum(dome.v_func_int[ucol], 1e-20)
         # table angles at floor indices (src/DomeLight.cpp:102-103)
         theta = jnp.floor(fv) * (vm.PI / nv)
