@@ -378,8 +378,10 @@ def pallas_iseg_trace(scene: Scene, o, d, time, tmin, tmax,
     # the shared prototype tables (measured ~3 live (RB, E)-sized values)
     tables_b = (10 * Mtot * C + 128) * 4
     avail = 10 * 1024 * 1024 - tables_b
-    # SMEM bound: per-slice smeta (3 i32) + strf (12 f32) rows, ~900 KB cap
-    smem_cap = 900 * 1024 // ((3 + 12) * 4) // 128 * 128
+    # SMEM bound: per-slice smeta (3 i32) + strf (12 f32) rows must fit
+    # the measured 1 MB SMEM (compile error at 1.24 MB: "would exceed
+    # memory (size=1048576)"), less ~32 KB for grid bookkeeping
+    smem_cap = (1024 - 32) * 1024 // ((3 + 12) * 4) // 128 * 128
     SLICE = min(32768 - 128, smem_cap,
                 max(1024, avail // (3 * rb * 4) // 128 * 128))
     outs = None
