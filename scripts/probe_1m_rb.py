@@ -1,10 +1,12 @@
 """Ray-block-size sweep for the flat segment kernel at high instance count.
 
-At 1M instances the multi-slice path runs ~84 slice dispatches x nb ray
+At 1M instances the multi-slice path runs ~119 slice dispatches x nb ray
 blocks; most (block, slice) grid steps are frustum-disabled, so the fixed
-per-grid-step machinery (~1.4us: output-block writes + grid bookkeeping)
-is the suspected bound. Doubling rb halves the step count at the cost of
-wasted MT lanes in live blocks. Builds the scene ONCE, then sweeps rb.
+per-grid-step machinery (~0.9us measured: output-block writes + grid
+bookkeeping) is the bound. Findings in PERF.md ("Remaining 1M bound"):
+rb can NOT reduce the step count — the slice size is VMEM-capped
+inversely to rb — and rb=64 scope-OOMs at the real 16 MB limit.
+Builds the scene ONCE, then sweeps rb.
 """
 import sys
 import time
